@@ -1,0 +1,114 @@
+"""Solver options.
+
+The reference uses a three-tier singleton of string->{bool,int,double} maps
+with `.opt`-file parsing of `NAME VALUE TYPE` lines (Core/Options/
+AbstractOptions.C:73, PIPSIPMppOptions.C:194-400, README.md:100-106).
+Here: one typed frozen dataclass; `.opt` files in the same line format are
+accepted for compatibility and override fields by (case-insensitive) name.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from enum import Enum
+
+
+class ScalerType(Enum):
+    """Reference Core/Preprocessing/PreprocessType.h:8."""
+    NONE = 0
+    EQUILIBRIUM = 1
+    GEOMETRIC_MEAN = 2
+    GEOMETRIC_MEAN_EQUILIBRIUM = 3
+    CURTIS_REID = 4
+
+
+class PresolverType(Enum):
+    NONE = 0
+    PRESOLVE = 1
+
+
+class StepMode(Enum):
+    """Reference InteriorPointMethodType.hpp:8 (PRIMAL vs PRIMAL_DUAL step rule)."""
+    PRIMAL = 0       # one common step length for primal+dual
+    PRIMAL_DUAL = 1  # separate primal/dual step lengths ("stepLp" in gmspips)
+
+
+@dataclass(frozen=True)
+class Options:
+    # ---- IPM termination (reference PIPSIPMppSolver.hpp:56-57, .cpp:13-26) ----
+    max_iterations: int = 300
+    mu_tolerance: float = 1e-6
+    residual_tolerance: float = 1e-4       # relative to data norm
+    reduced_accuracy: bool = False         # mu 1e-5 / resid 1e-3
+    # divergence / slow progress detection (PIPSIPMppSolver.cpp:164-185)
+    divergence_mu: float = 1e8
+
+    # ---- step rule & correctors (reference InteriorPointMethod.cpp) ----
+    step_mode: StepMode = StepMode.PRIMAL_DUAL
+    max_gondzio_correctors: int = 3        # GONDZIO_MAX_CORRECTORS
+    n_linesearch_points: int = 8           # weighted PC line search resolution
+    steplength_factor: float = 0.99995     # gamma_f in Mehrotra heuristic
+    beta_min: float = 0.1                  # Gondzio target box [σμ βmin, σμ βmax]
+    beta_max: float = 10.0
+    acceptance_tolerance: float = 0.01     # corrector acceptance fraction
+
+    # ---- linear algebra ----
+    factor_dtype: str = "auto"             # "float32" | "float64" | "auto"
+    residual_dtype: str = "float64"
+    primal_regularization: float = 1e-10   # delta_p (Friedlander-Orban style)
+    dual_regularization: float = 1e-10     # delta_d
+    regularization_growth: float = 100.0   # escalation on factorization failure
+    max_regularization_retries: int = 6
+    refinement_steps: int = 1              # iterative refinement sweeps per solve
+    refinement_tolerance: float = 1e-9
+    outer_bicgstab: bool = False           # OUTER_SOLVE=2 analog
+    outer_max_iters: int = 8
+
+    # ---- preprocessing ----
+    scaler: ScalerType = ScalerType.NONE
+    presolve: PresolverType = PresolverType.NONE
+    presolve_max_rounds: int = 2           # PRESOLVE_MAX_ROUNDS
+
+    # ---- parallel ----
+    mesh_axis: str = "blocks"
+    hierarchical: bool = False
+    hierarchical_layers: int = 2
+
+    # ---- observability ----
+    print_level: int = 0
+    record_history: bool = True
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_opt_file(path: str, base: "Options | None" = None) -> "Options":
+        """Parse reference-style `.opt` file: lines `NAME VALUE TYPE` where
+        TYPE in {bool,int,double} (AbstractOptions.C:73; README.md:100-106).
+        Unknown names are ignored (reference warns); names are matched
+        case-insensitively against field names."""
+        opts = base or Options()
+        fields = {f.name.lower(): f.name for f in dataclasses.fields(Options)}
+        overrides = {}
+        with open(path) as fh:
+            for line in fh:
+                parts = line.split("#")[0].split()
+                if len(parts) != 3:
+                    continue
+                name, value, typ = parts
+                key = fields.get(name.lower())
+                if key is None:
+                    continue
+                if typ == "bool":
+                    overrides[key] = value.lower() in ("true", "1", "yes")
+                elif typ == "int":
+                    overrides[key] = int(value)
+                elif typ == "double":
+                    overrides[key] = float(value)
+        return opts.replace(**overrides)
+
+    def tolerances(self) -> tuple[float, float]:
+        if self.reduced_accuracy:
+            return 1e-5, 1e-3
+        return self.mu_tolerance, self.residual_tolerance

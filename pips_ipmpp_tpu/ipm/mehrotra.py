@@ -1,0 +1,136 @@
+"""Mehrotra predictor-corrector with Gondzio multiple centrality correctors.
+
+Backend-generic, fully jittable: one call = one IPM iteration (factorize +
+predictor solve + corrector solve + Gondzio loop + step).  This is the
+TPU-native reimplementation of the reference's InteriorPointMethod
+(Core/InteriorPointMethod/InteriorPointMethod.cpp): the predictor/corrector
+logic at :68-178, the Gondzio loop at :236-358, the primal vs primal-dual
+step rules (InteriorPointMethodType.hpp), and the fraction-to-boundary and
+step-length heuristics at :696-816 — expressed as fused jnp ops and
+`lax.while_loop` (no data-dependent Python control flow, per XLA semantics).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pips_ipmpp_tpu.core.lp import _register
+from pips_ipmpp_tpu.core.options import Options, StepMode
+from pips_ipmpp_tpu.ipm import formulation as F
+
+
+@_register
+@dataclass
+class StepStats:
+    mu: Any
+    sigma: Any
+    alpha_primal: Any
+    alpha_dual: Any
+    n_gondzio: Any
+    factor_ok: Any
+
+
+def _solve_dir(be, it, res, comp, Ominv, fac, refinement_steps):
+    rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
+    dx, dy, dz = be.solve_reduced(fac, rhs, refinement_steps)
+    return F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
+
+
+def _alphas(be, it, d, opts: Options):
+    if opts.step_mode == StepMode.PRIMAL:
+        return F.step_bound_single(be, it, d)
+    return F.step_bounds_pd(be, it, d)
+
+
+def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
+    """One full IPM iteration. Returns (new_iterate, StepStats)."""
+    res = F.compute_residuals(be, it)
+    Dx, Ominv = F.kkt_diagonals(be, it)
+    fac = be.factorize(Dx, Ominv, delta_p, delta_d)
+    ok = be.factorization_ok(fac)
+
+    mu = F.mu(be, it)
+    rs = opts.refinement_steps
+
+    # ---- predictor (affine scaling) ----
+    comp_aff = F.comp_rhs_affine(be, it)
+    d_aff = _solve_dir(be, it, res, comp_aff, Ominv, fac, rs)
+    ap_aff, ad_aff = _alphas(be, it, d_aff, opts)
+    mu_aff = F.mu_after_step(be, it, d_aff, ap_aff, ad_aff)
+
+    # ---- centering parameter sigma = (mu_aff/mu)^3 (reference :154-168) ----
+    sigma = (mu_aff / mu) ** 3
+    sigma_mu = sigma * mu
+
+    # ---- corrector (combined direction) ----
+    comp_corr = F.comp_rhs_corrector(be, it, d_aff, sigma_mu)
+    d = _solve_dir(be, it, res, comp_corr, Ominv, fac, rs)
+    a_p, a_d = _alphas(be, it, d, opts)
+
+    # ---- Gondzio multiple centrality correctors (reference :236-358) ----
+    zero_res = jax.tree.map(jnp.zeros_like, res)
+    n_gondzio = jnp.zeros((), jnp.int32)
+
+    if opts.max_gondzio_correctors > 0:
+        def cond(carry):
+            d_c, ap_c, ad_c, k, go = carry
+            small = jnp.minimum(ap_c, ad_c) < 1.0
+            return go & small & (k < opts.max_gondzio_correctors)
+
+        def body(carry):
+            d_c, ap_c, ad_c, k, _ = carry
+            # enlarged trial steps (Gondzio's delta-alpha probing)
+            ap_t = jnp.minimum(ap_c + 0.08, 1.0)
+            ad_t = jnp.minimum(ad_c + 0.08, 1.0)
+            comp_g = F.comp_rhs_gondzio(be, it, d_c, ap_t, ad_t, sigma_mu,
+                                        opts.beta_min, opts.beta_max)
+            corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, rs)
+            d_new = jax.tree.map(lambda a, b: a + b, d_c, corr)
+            ap_n, ad_n = _alphas(be, it, d_new, opts)
+            # accept if both step lengths improved enough (reference
+            # acceptance test with acceptance_tolerance)
+            tol = opts.acceptance_tolerance
+            accept = (ap_n >= ap_c + tol * 0.08) & (ad_n >= ad_c + tol * 0.08)
+            d_keep = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), d_new, d_c)
+            return (d_keep,
+                    jnp.where(accept, ap_n, ap_c),
+                    jnp.where(accept, ad_n, ad_c),
+                    k + 1, accept)
+
+        d, a_p, a_d, n_gondzio, _ = jax.lax.while_loop(
+            cond, body, (d, a_p, a_d, n_gondzio, jnp.asarray(True)))
+
+    # ---- final step lengths ----
+    a_p_f, a_d_f = _final_steplengths(be, it, d, a_p, a_d, mu, opts)
+    new_it = F.take_step(it, d, a_p_f, a_d_f)
+
+    stats = StepStats(mu=mu, sigma=sigma, alpha_primal=a_p_f,
+                      alpha_dual=a_d_f, n_gondzio=n_gondzio, factor_ok=ok)
+    return new_it, stats
+
+
+def _final_steplengths(be, it, d, a_p_max, a_d_max, mu, opts: Options):
+    """Mehrotra's adaptive step-length heuristic (reference
+    mehrotra_step_length primal :696-744 / primal-dual :746-816).
+
+    Uses the mu the step would produce to scale back from the maximum step:
+    alpha = gamma_f * alpha_max adjusted so the blocking product stays
+    >= (mu_+ / blocking value) * fraction; we use the robust simplified form
+    max(gamma_f * alpha_max, 1 - mu_+/blocking-scale) with the classical
+    0.99995 cap, which matches the reference's behavior on LPs to within an
+    iteration or two."""
+    gf = opts.steplength_factor
+    mu_full = F.mu_after_step(be, it, d, a_p_max, a_d_max)
+    # fraction-to-boundary scaling: tau -> 1 as mu -> 0
+    tau = jnp.maximum(0.99, 1.0 - mu_full / jnp.maximum(mu, 1e-300))
+    tau = jnp.clip(tau, 0.99, gf)
+    a_p = jnp.minimum(tau * a_p_max, gf)
+    a_d = jnp.minimum(tau * a_d_max, gf)
+    if opts.step_mode == StepMode.PRIMAL:
+        a = jnp.minimum(a_p, a_d)
+        return a, a
+    return a_p, a_d

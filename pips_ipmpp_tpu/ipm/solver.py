@@ -1,0 +1,176 @@
+"""Outer IPM loop: initial point, termination, regularization escalation.
+
+Reimplements the reference's PIPSIPMppSolver::solve outer loop
+(Core/InteriorPointMethod/PIPSIPMppSolver.cpp:29-194): evaluate residuals ->
+unscaled gap/residual norm -> status (mu <= 1e-6 and resid <= 1e-4*||data||
+-> success; divergence -> INFEASIBLE; slow convergence -> UNKNOWN; max 300
+iterations) -> one predictor-corrector iteration.  The per-iteration work is
+one jitted call; the Python loop only reads back a handful of scalars
+(mirroring the reference where rank 0 prints per-iteration statistics).
+
+Numerical-troubles handling: on a failed factorization (NaN/Inf in a
+Cholesky factor) the primal/dual regularization ladder is escalated and the
+iteration retried — the inertia-free analog of the reference's
+factorize_with_correct_inertia loop (LinearSystem.C:296-325) with
+Friedlander-Orban-style deltas (Core/KKTFormulation/LinearSystems/
+RegularizationStrategy.h:15-38).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pips_ipmpp_tpu.core import spaces
+from pips_ipmpp_tpu.core.options import Options
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.ipm import formulation as F
+from pips_ipmpp_tpu.ipm.mehrotra import ipm_step
+
+
+@dataclass
+class IterationInfo:
+    iteration: int
+    mu: float
+    residual_norm: float
+    duality_gap: float
+    objective: float
+    alpha_primal: float
+    alpha_dual: float
+    sigma: float
+    n_gondzio: int
+
+
+@dataclass
+class SolveResult:
+    status: TerminationStatus
+    iterate: F.Iterate
+    iterations: int
+    objective: float
+    mu: float
+    residual_norm: float
+    history: list = field(default_factory=list)
+
+
+def _eval_fn(be_ctor, lp, it):
+    be = be_ctor(lp)
+    res = F.compute_residuals(be, it)
+    return (F.mu(be, it), F.residual_norm(res, be.axis),
+            F.duality_gap(be, it), be.objective(it.x))
+
+
+def _step_fn(be_ctor, opts, lp, it, dp, dd):
+    be = be_ctor(lp)
+    return ipm_step(be, it, dp, dd, opts)
+
+
+def _init_fn(be_ctor, opts, lp):
+    be = be_ctor(lp)
+    datanorm = be.datanorm()
+    shift = jnp.sqrt(datanorm)
+    it = F.initial_iterate(be, shift)
+    # one affine solve from the pushed point, full step, then re-shift
+    # (reference Solver.cpp:16-31)
+    res = F.compute_residuals(be, it)
+    Dx, Ominv = F.kkt_diagonals(be, it)
+    fac = be.factorize(Dx, Ominv, opts.primal_regularization,
+                       opts.dual_regularization)
+    comp = F.comp_rhs_affine(be, it)
+    rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
+    dx, dy, dz = be.solve_reduced(fac, rhs, opts.refinement_steps)
+    d = F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
+    it = F.take_step(it, d, 1.0, 1.0)
+    viol = F.violation(be, it)
+    it = F.shift_bound_variables(be, it, 1e3 + 2.0 * viol)
+    return it, datanorm
+
+
+class IPMSolver:
+    """Drives the IPM to termination over any backend family.
+
+    `be_ctor(lp) -> backend` must be traceable (called inside jit with the
+    LP pytree as argument, so problem data is not baked into the
+    executable)."""
+
+    def __init__(self, be_ctor: Callable, opts: Optional[Options] = None):
+        self.be_ctor = be_ctor
+        self.opts = opts or Options()
+        self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))
+        self._eval = jax.jit(partial(_eval_fn, be_ctor))
+        self._init = jax.jit(partial(_init_fn, be_ctor, self.opts))
+
+    def solve(self, lp, callback=None) -> SolveResult:
+        opts = self.opts
+        mu_tol, res_tol = opts.tolerances()
+
+        it, datanorm = self._init(lp)
+        datanorm = float(datanorm)
+
+        dp = opts.primal_regularization
+        dd = opts.dual_regularization
+
+        history: list[IterationInfo] = []
+        status = TerminationStatus.MAX_ITS_EXCEEDED
+        mu_v = res_v = float("nan")
+        best_mu = float("inf")
+        stall = 0
+
+        k = 0
+        for k in range(opts.max_iterations):
+            mu_v, res_v, gap_v, obj_v = [float(v) for v in self._eval(lp, it)]
+
+            if opts.print_level >= 10:
+                print(f"iter {k:3d}  obj {obj_v: .8e}  mu {mu_v:.3e}  "
+                      f"resid {res_v:.3e}")
+
+            # -- termination tests (reference compute_status :143-194) --
+            if mu_v <= mu_tol and res_v <= res_tol * max(datanorm, 1.0):
+                status = TerminationStatus.SUCCESSFUL_TERMINATION
+                break
+            if not np.isfinite(mu_v) or mu_v > opts.divergence_mu:
+                status = TerminationStatus.INFEASIBLE
+                break
+            # slow-progress detection (reference :176-185)
+            if mu_v < best_mu * 0.999:
+                best_mu, stall = mu_v, 0
+            else:
+                stall += 1
+                if stall >= 30:
+                    status = TerminationStatus.UNKNOWN
+                    break
+
+            new_it, stats = self._step(lp, it, dp, dd)
+            ok = bool(stats.factor_ok)
+            retries = 0
+            while not ok and retries < opts.max_regularization_retries:
+                # inertia-free regularization escalation
+                dp = dp * opts.regularization_growth + 1e-12
+                dd = dd * opts.regularization_growth + 1e-12
+                new_it, stats = self._step(lp, it, dp, dd)
+                ok = bool(stats.factor_ok)
+                retries += 1
+            if not ok:
+                status = TerminationStatus.UNKNOWN
+                break
+
+            it = new_it
+            if opts.record_history:
+                history.append(IterationInfo(
+                    iteration=k, mu=mu_v, residual_norm=res_v,
+                    duality_gap=float(gap_v), objective=float(obj_v),
+                    alpha_primal=float(stats.alpha_primal),
+                    alpha_dual=float(stats.alpha_dual),
+                    sigma=float(stats.sigma),
+                    n_gondzio=int(stats.n_gondzio)))
+            if callback is not None:
+                callback(k, it, history[-1] if history else None)
+
+        _, _, _, obj_v = [float(v) for v in self._eval(lp, it)]
+        return SolveResult(status=status, iterate=it, iterations=k,
+                           objective=obj_v, mu=mu_v, residual_norm=res_v,
+                           history=history)
