@@ -1,0 +1,460 @@
+r"""Problem scaling: geometric-mean, equilibrium (inf-norm), Curtis-Reid.
+
+Reimplements the reference's scaler family (Core/Preprocessing/Scaler.cpp,
+GeometricMeanScaler.C:21-171, EquilibriumScaler, CurtisReidScaler.cpp:318)
+as structure-aware array passes.  Scaling runs once at setup (off the IPM
+hot path, as in the reference) on the batched arrowhead arrays.
+
+Transform (col scale s > 0, eq-row scale rE > 0, ineq-row scale rC > 0):
+
+    A' = diag(rE) A diag(s)    b' = rE.b      x' = x / s
+    C' = diag(rC) C diag(s)    clow' = rC.clow, cupp' = rC.cupp
+    c' = s.c                   xlow' = xlow/s, xupp' = xupp/s
+
+Unscale: x = s.x', y = rE.y', z = rC.z', s_slack = s'/rC,
+gamma = gamma'/s, phi = phi'/s (bound duals divide by the col scale).
+
+All final factors are rounded to powers of two so scaling/unscaling is
+exact in floating point (the classic Curtis-Reid/MC30 trick; reference
+rounds in CurtisReidScaler via log2 factors).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pips_ipmpp_tpu.core.lp import ArrowheadLP, DenseLP
+from pips_ipmpp_tpu.core.options import ScalerType
+from pips_ipmpp_tpu.core.spaces import RVec, XVec
+
+_INF = jnp.inf
+
+
+def _pow2_round(v):
+    """Round positive factors to the nearest power of two (exact scaling)."""
+    return jnp.exp2(jnp.round(jnp.log2(v)))
+
+
+def _safe(v):
+    """Replace 0/inf/nan factors by 1 (empty rows/cols are left unscaled)."""
+    return jnp.where(jnp.isfinite(v) & (v > 0), v, 1.0)
+
+
+# ======================================================================
+# Row/col |entry| statistics with on-the-fly factors
+# ======================================================================
+
+def _mm(a):  # abs
+    return jnp.abs(a)
+
+
+def _rstat(S, op):
+    """Row reduce of a scaled abs matrix; op in (max, min-over-nonzeros)."""
+    if S.shape[-1] == 0:
+        fill = 0.0 if op == "max" else _INF
+        return jnp.full(S.shape[:-1], fill, S.dtype)
+    if op == "max":
+        return jnp.max(S, axis=-1)
+    return jnp.min(jnp.where(S > 0, S, _INF), axis=-1)
+
+
+def _cstat(S, op):
+    if S.shape[-2] == 0:
+        fill = 0.0 if op == "max" else _INF
+        return jnp.full(S.shape[:-2] + S.shape[-1:], fill, S.dtype)
+    if op == "max":
+        return jnp.max(S, axis=-2)
+    return jnp.min(jnp.where(S > 0, S, _INF), axis=-2)
+
+
+class _DenseView:
+    """Stats/apply adapter for DenseLP."""
+
+    def __init__(self, lp: DenseLP):
+        self.lp = lp
+
+    def ones(self):
+        lp = self.lp
+        one = jnp.ones_like
+        return one(lp.c), one(lp.b), one(lp.clow)
+
+    def row_stats(self, s, rE, rC, op):
+        lp = self.lp
+        SA = _mm(lp.A) * rE[:, None] * s[None, :]
+        SC = _mm(lp.C) * rC[:, None] * s[None, :]
+        return _rstat(SA, op), _rstat(SC, op)
+
+    def col_stats(self, s, rE, rC, op):
+        lp = self.lp
+        SA = _mm(lp.A) * rE[:, None] * s[None, :]
+        SC = _mm(lp.C) * rC[:, None] * s[None, :]
+        red = jnp.maximum if op == "max" else jnp.minimum
+        return red(_cstat(SA, op), _cstat(SC, op))
+
+    def apply(self, s, rE, rC) -> DenseLP:
+        lp = self.lp
+        return DenseLP(
+            c=lp.c * s,
+            A=lp.A * rE[:, None] * s[None, :], b=lp.b * rE,
+            C=lp.C * rC[:, None] * s[None, :],
+            iclow=lp.iclow, clow=lp.clow * rC,
+            icupp=lp.icupp, cupp=lp.cupp * rC,
+            ixlow=lp.ixlow, xlow=lp.xlow / s,
+            ixupp=lp.ixupp, xupp=lp.xupp / s,
+        )
+
+
+class _ArrowView:
+    """Stats/apply adapter for ArrowheadLP (batched structure-aware)."""
+
+    def __init__(self, lp: ArrowheadLP):
+        self.lp = lp
+
+    def ones(self):
+        lp = self.lp
+        s = XVec(jnp.ones_like(lp.c0), jnp.ones_like(lp.cN))
+        rE = RVec(jnp.ones_like(lp.b0), jnp.ones_like(lp.bN),
+                  jnp.ones_like(lp.bl))
+        rC = RVec(jnp.ones_like(lp.clow0), jnp.ones_like(lp.clowN),
+                  jnp.ones_like(lp.clowl))
+        return s, rE, rC
+
+    def row_stats(self, s, rE, rC, op):
+        lp = self.lp
+        red = jnp.maximum if op == "max" else jnp.minimum
+
+        def rows(M0, Mb, Bb, Ml0, Mlb, r0, rb, rl):
+            # block-0 rows, per-block rows (border+diag), linking rows
+            S0 = _mm(M0) * r0[:, None] * s.first[None, :]
+            first = _rstat(S0, op)
+            Sb1 = _mm(Mb) * rb[:, :, None] * s.first[None, None, :]
+            Sb2 = _mm(Bb) * rb[:, :, None] * s.blocks[:, None, :]
+            blocks = red(_rstat(Sb1, op), _rstat(Sb2, op))
+            Sl0 = _mm(Ml0) * rl[:, None] * s.first[None, :]
+            Slb = _mm(Mlb) * rl[None, :, None] * s.blocks[:, None, :]
+            stat_l0 = _rstat(Sl0, op)
+            stat_lb = _rstat(Slb, op)   # [N, ml]
+            if stat_lb.shape[0]:
+                agg = (jnp.max(stat_lb, 0) if op == "max"
+                       else jnp.min(stat_lb, 0))
+            else:
+                agg = jnp.full_like(stat_l0, 0.0 if op == "max" else _INF)
+            link = red(stat_l0, agg)
+            return RVec(first, blocks, link)
+
+        sE = rows(lp.A0, lp.A, lp.B, lp.F0, lp.F, rE.first, rE.blocks,
+                  rE.link)
+        sC = rows(lp.C0, lp.C, lp.D, lp.G0, lp.G, rC.first, rC.blocks,
+                  rC.link)
+        return sE, sC
+
+    def col_stats(self, s, rE, rC, op):
+        lp = self.lp
+        red = jnp.maximum if op == "max" else jnp.minimum
+
+        def cs(M, r, sc):   # [m, k] with row scale r -> col stat
+            return _cstat(_mm(M) * r[:, None] * sc, op)
+
+        def csb(M, r, sc):  # [N, m, k] batched
+            return _cstat(_mm(M) * r[:, :, None] * sc, op)
+
+        # first-stage columns: A0,C0,F0,G0 + all borders A_i, C_i
+        parts0 = [cs(lp.A0, rE.first, s.first[None, :]),
+                  cs(lp.C0, rC.first, s.first[None, :]),
+                  cs(lp.F0, rE.link, s.first[None, :]),
+                  cs(lp.G0, rC.link, s.first[None, :])]
+        bA = csb(lp.A, rE.blocks, s.first[None, None, :])   # [N, n0]
+        bC = csb(lp.C, rC.blocks, s.first[None, None, :])
+        if lp.N:
+            parts0.append(jnp.max(bA, 0) if op == "max" else jnp.min(bA, 0))
+            parts0.append(jnp.max(bC, 0) if op == "max" else jnp.min(bC, 0))
+        first = parts0[0]
+        for p in parts0[1:]:
+            first = red(first, p)
+
+        # block columns: B_i, D_i, F_i, G_i
+        pB = csb(lp.B, rE.blocks, s.blocks[:, None, :])
+        pD = csb(lp.D, rC.blocks, s.blocks[:, None, :])
+        pF = _cstat(_mm(lp.F) * rE.link[None, :, None] * s.blocks[:, None, :],
+                    op)
+        pG = _cstat(_mm(lp.G) * rC.link[None, :, None] * s.blocks[:, None, :],
+                    op)
+        blocks = red(red(pB, pD), red(pF, pG))
+        return XVec(first, blocks)
+
+    def apply(self, s, rE, rC) -> ArrowheadLP:
+        lp = self.lp
+        kw = {}
+        kw["c0"] = lp.c0 * s.first
+        kw["cN"] = lp.cN * s.blocks
+        kw["A0"] = lp.A0 * rE.first[:, None] * s.first[None, :]
+        kw["b0"] = lp.b0 * rE.first
+        kw["C0"] = lp.C0 * rC.first[:, None] * s.first[None, :]
+        kw["A"] = lp.A * rE.blocks[:, :, None] * s.first[None, None, :]
+        kw["B"] = lp.B * rE.blocks[:, :, None] * s.blocks[:, None, :]
+        kw["bN"] = lp.bN * rE.blocks
+        kw["C"] = lp.C * rC.blocks[:, :, None] * s.first[None, None, :]
+        kw["D"] = lp.D * rC.blocks[:, :, None] * s.blocks[:, None, :]
+        kw["F0"] = lp.F0 * rE.link[:, None] * s.first[None, :]
+        kw["F"] = lp.F * rE.link[None, :, None] * s.blocks[:, None, :]
+        kw["bl"] = lp.bl * rE.link
+        kw["G0"] = lp.G0 * rC.link[:, None] * s.first[None, :]
+        kw["G"] = lp.G * rC.link[None, :, None] * s.blocks[:, None, :]
+        kw["clow0"] = lp.clow0 * rC.first
+        kw["cupp0"] = lp.cupp0 * rC.first
+        kw["clowN"] = lp.clowN * rC.blocks
+        kw["cuppN"] = lp.cuppN * rC.blocks
+        kw["clowl"] = lp.clowl * rC.link
+        kw["cuppl"] = lp.cuppl * rC.link
+        kw["xlow0"] = lp.xlow0 / s.first
+        kw["xupp0"] = lp.xupp0 / s.first
+        kw["xlowN"] = lp.xlowN / s.blocks
+        kw["xuppN"] = lp.xuppN / s.blocks
+        for f in dataclasses.fields(lp):
+            if f.name not in kw:
+                kw[f.name] = getattr(lp, f.name)
+        return ArrowheadLP(**kw)
+
+
+def _view(lp):
+    return _DenseView(lp) if isinstance(lp, DenseLP) else _ArrowView(lp)
+
+
+tmap = jax.tree.map
+
+
+# ======================================================================
+# Scalers
+# ======================================================================
+
+class _ScalerBase:
+    """Holds factors after scale(); provides unscaling of all quantities."""
+
+    def __init__(self):
+        self.s = self.rE = self.rC = None
+
+    def scale(self, lp):
+        view = _view(lp)
+        s, rE, rC = self._compute(view)
+        self.s = tmap(lambda v: _safe(_pow2_round(_safe(v))), s)
+        self.rE = tmap(lambda v: _safe(_pow2_round(_safe(v))), rE)
+        self.rC = tmap(lambda v: _safe(_pow2_round(_safe(v))), rC)
+        return view.apply(self.s, self.rE, self.rC)
+
+    # solution unscaling (reference Scaler.hpp:38-53 unscale_variables) ---
+    def unscale_x(self, x):
+        return tmap(lambda sv, xv: sv * xv, self.s, x)
+
+    def unscale_y(self, y):
+        return tmap(lambda rv, yv: rv * yv, self.rE, y)
+
+    def unscale_z(self, z):
+        return tmap(lambda rv, zv: rv * zv, self.rC, z)
+
+    def unscale_slack(self, sl):
+        return tmap(lambda rv, v: v / rv, self.rC, sl)
+
+    def unscale_bound_dual(self, g):
+        return tmap(lambda sv, v: v / sv, self.s, g)
+
+
+class EquilibriumScaler(_ScalerBase):
+    """inf-norm scaling: rows by 1/rowmax, then cols by 1/colmax
+    (reference EquilibriumScaler)."""
+
+    def _compute(self, view):
+        s, rE, rC = view.ones()
+        inv = lambda f, m: jnp.where(m > 0, f / jnp.maximum(m, 1e-300), f)
+        mE, mC = view.row_stats(s, rE, rC, "max")
+        rE = tmap(inv, rE, mE)
+        rC = tmap(inv, rC, mC)
+        cm = view.col_stats(s, rE, rC, "max")
+        s = tmap(inv, s, cm)
+        return s, rE, rC
+
+
+class GeometricMeanScaler(_ScalerBase):
+    """sqrt(max*min) scaling iterated (reference GeometricMeanScaler.C:21-171),
+    optionally followed by an equilibrium pass."""
+
+    def __init__(self, max_iters: int = 10, with_equilibrium: bool = False):
+        super().__init__()
+        self.max_iters = max_iters
+        self.with_equilibrium = with_equilibrium
+
+    def _compute(self, view):
+        s, rE, rC = view.ones()
+        geo = lambda mx, mn: jnp.where(
+            mx > 0,
+            1.0 / jnp.sqrt(jnp.maximum(
+                mx * jnp.where(jnp.isfinite(mn), mn, mx), 1e-300)),
+            1.0)  # empty rows/cols stay unscaled
+        for _ in range(self.max_iters):
+            mxE, mxC = view.row_stats(s, rE, rC, "max")
+            mnE, mnC = view.row_stats(s, rE, rC, "min")
+            rE = tmap(lambda f, mx, mn: f * _safe(geo(mx, mn)), rE, mxE, mnE)
+            rC = tmap(lambda f, mx, mn: f * _safe(geo(mx, mn)), rC, mxC, mnC)
+            cmx = view.col_stats(s, rE, rC, "max")
+            cmn = view.col_stats(s, rE, rC, "min")
+            s = tmap(lambda f, mx, mn: f * _safe(geo(mx, mn)), s, cmx, cmn)
+        if self.with_equilibrium:
+            inv = lambda f, m: jnp.where(m > 0, f / jnp.maximum(m, 1e-300), f)
+            mxE, mxC = view.row_stats(s, rE, rC, "max")
+            rE = tmap(inv, rE, mxE)
+            rC = tmap(inv, rC, mxC)
+            cm = view.col_stats(s, rE, rC, "max")
+            s = tmap(inv, s, cm)
+        return s, rE, rC
+
+
+class CurtisReidScaler(_ScalerBase):
+    """Curtis-Reid least-squares scaling: minimize
+    sum_{a_ij != 0} (log2|a_ij| + rho_i + gamma_j)^2 via CG on the normal
+    equations over log2 factors (reference CurtisReidScaler.cpp:318)."""
+
+    def __init__(self, cg_iters: int = 30):
+        super().__init__()
+        self.cg_iters = cg_iters
+
+    def _compute(self, view):
+        s1, rE1, rC1 = view.ones()
+
+        # pattern & log-magnitude row/col aggregates via the stats machinery
+        # would lose signs; compute directly per view type.
+        lp = view.lp
+        if isinstance(view, _DenseView):
+            mats = [("E", lp.A), ("C", lp.C)]
+        else:
+            mats = None  # handled structurally below
+
+        def logabs(M):
+            m = jnp.abs(M)
+            return jnp.where(m > 0, jnp.log2(jnp.maximum(m, 1e-300)), 0.0), \
+                (m > 0).astype(M.dtype)
+
+        if isinstance(view, _DenseView):
+            LA, PA = logabs(lp.A)
+            LC, PC = logabs(lp.C)
+
+            def rowsum(L_A, L_C):
+                return jnp.sum(L_A, -1), jnp.sum(L_C, -1)
+
+            def colsum(L_A, L_C):
+                return jnp.sum(L_A, -2) + jnp.sum(L_C, -2)
+
+            sigmaE, sigmaC = rowsum(LA, LC)
+            sigmacol = colsum(LA, LC)
+            cntE, cntC = jnp.sum(PA, -1), jnp.sum(PC, -1)
+            cntcol = jnp.sum(PA, -2) + jnp.sum(PC, -2)
+
+            def Pg(g):           # pattern @ gamma -> rows
+                return PA @ g, PC @ g
+
+            def PTr(rE_, rC_):   # pattern' @ rho -> cols
+                return PA.T @ rE_ + PC.T @ rC_
+        else:
+            LB = {}
+            PB = {}
+            for name in ("A0", "C0", "A", "B", "C", "D", "F0", "F",
+                         "G0", "G"):
+                LB[name], PB[name] = logabs(getattr(lp, name))
+
+            def rows_of(p0, pb, pd, pl0, plb):
+                first = jnp.sum(p0, -1)
+                blocks = jnp.sum(pb, -1) + jnp.sum(pd, -1)
+                link = jnp.sum(pl0, -1) + jnp.sum(plb, (0, 2))
+                return RVec(first, blocks, link)
+
+            sigmaE = rows_of(LB["A0"], LB["A"], LB["B"], LB["F0"], LB["F"])
+            sigmaC = rows_of(LB["C0"], LB["C"], LB["D"], LB["G0"], LB["G"])
+            cntE = rows_of(PB["A0"], PB["A"], PB["B"], PB["F0"], PB["F"])
+            cntC = rows_of(PB["C0"], PB["C"], PB["D"], PB["G0"], PB["G"])
+
+            def cols_of(t):
+                first = (jnp.sum(t["A0"], 0) + jnp.sum(t["C0"], 0)
+                         + jnp.sum(t["F0"], 0) + jnp.sum(t["G0"], 0)
+                         + jnp.sum(t["A"], (0, 1)) + jnp.sum(t["C"], (0, 1)))
+                blocks = (jnp.sum(t["B"], 1) + jnp.sum(t["D"], 1)
+                          + jnp.sum(t["F"], 1) + jnp.sum(t["G"], 1))
+                return XVec(first, blocks)
+
+            sigmacol = cols_of(LB)
+            cntcol = cols_of(PB)
+
+            def Pg(g: XVec):
+                first = PB["A0"] @ g.first
+                blocks = (jnp.einsum("imk,k->im", PB["A"], g.first)
+                          + jnp.einsum("imn,in->im", PB["B"], g.blocks))
+                link = PB["F0"] @ g.first + jnp.einsum(
+                    "iln,in->l", PB["F"], g.blocks)
+                firstC = PB["C0"] @ g.first
+                blocksC = (jnp.einsum("imk,k->im", PB["C"], g.first)
+                           + jnp.einsum("imn,in->im", PB["D"], g.blocks))
+                linkC = PB["G0"] @ g.first + jnp.einsum(
+                    "iln,in->l", PB["G"], g.blocks)
+                return RVec(first, blocks, link), RVec(firstC, blocksC, linkC)
+
+            def PTr(rE_: RVec, rC_: RVec):
+                first = (PB["A0"].T @ rE_.first + PB["C0"].T @ rC_.first
+                         + PB["F0"].T @ rE_.link + PB["G0"].T @ rC_.link
+                         + jnp.einsum("imk,im->k", PB["A"], rE_.blocks)
+                         + jnp.einsum("imk,im->k", PB["C"], rC_.blocks))
+                blocks = (jnp.einsum("imn,im->in", PB["B"], rE_.blocks)
+                          + jnp.einsum("imn,im->in", PB["D"], rC_.blocks)
+                          + jnp.einsum("iln,l->in", PB["F"], rE_.link)
+                          + jnp.einsum("iln,l->in", PB["G"], rC_.link))
+                return XVec(first, blocks)
+
+        # CG on K u = rhs, u = (rhoE, rhoC, gamma),
+        # K = [[diag(cnt_rows), P], [P', diag(cnt_cols)]]
+        rhs = (tmap(lambda v: -v, sigmaE), tmap(lambda v: -v, sigmaC),
+               tmap(lambda v: -v, sigmacol))
+
+        def Kmul(u):
+            uE, uC, g = u
+            PgE, PgC = Pg(g)
+            outE = tmap(lambda c, r, p: c * r + p, cntE, uE, PgE)
+            outC = tmap(lambda c, r, p: c * r + p, cntC, uC, PgC)
+            outg = tmap(lambda c, gg, p: c * gg + p, cntcol, g, PTr(uE, uC))
+            return outE, outC, outg
+
+        def dot(a, b):
+            return sum(jnp.vdot(x, y) for x, y in
+                       zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+        u = tmap(jnp.zeros_like, rhs)
+        r = rhs
+        p = r
+        rs = dot(r, r)
+        for _ in range(self.cg_iters):
+            Kp = Kmul(p)
+            denom = dot(p, Kp)
+            alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-300), 0.0)
+            u = tmap(lambda uu, pp: uu + alpha * pp, u, p)
+            r = tmap(lambda rr, kp: rr - alpha * kp, r, Kp)
+            rs_new = dot(r, r)
+            beta = rs_new / jnp.maximum(rs, 1e-300)
+            p = tmap(lambda rr, pp: rr + beta * pp, r, p)
+            rs = rs_new
+
+        rhoE, rhoC, gamma = u
+        rE = tmap(lambda v: jnp.exp2(jnp.round(v)), rhoE)
+        rC = tmap(lambda v: jnp.exp2(jnp.round(v)), rhoC)
+        s = tmap(lambda v: jnp.exp2(jnp.round(v)), gamma)
+        return s, rE, rC
+
+
+def make_scaler(kind: ScalerType) -> _ScalerBase:
+    if kind == ScalerType.EQUILIBRIUM:
+        return EquilibriumScaler()
+    if kind == ScalerType.GEOMETRIC_MEAN:
+        return GeometricMeanScaler()
+    if kind == ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM:
+        return GeometricMeanScaler(with_equilibrium=True)
+    if kind == ScalerType.CURTIS_REID:
+        return CurtisReidScaler()
+    raise ValueError(f"no scaler for {kind}")
