@@ -39,17 +39,55 @@ class PIPSIPMppTPUInterface:
     # ------------------------------------------------------------------
     def run(self) -> TerminationStatus:
         lp = self.lp
+        # presolve (ArrowheadLP only; reference presolves before scaling,
+        # PIPSIPMppInterface.cpp:39-57,101-119)
+        if (self.options.presolve == PresolverType.PRESOLVE
+                and isinstance(lp, ArrowheadLP)):
+            from pips_ipmpp_tpu.presolve import Presolver
+            pres = Presolver(max_rounds=self.options.presolve_max_rounds)
+            self._presolve_log = pres.presolve(lp)
+            if self._presolve_log.infeasible:
+                self.result = None
+                self._status_override = TerminationStatus.INFEASIBLE
+                return TerminationStatus.INFEASIBLE
+            lp = self._presolve_log.lp
         if self.options.scaler != ScalerType.NONE:
             from pips_ipmpp_tpu.scale import make_scaler
             self._scaler = make_scaler(self.options.scaler)
             lp = self._scaler.scale(lp)
         self.result = self._solver.solve(lp)
+        self._postsolved = None
         return self.result.status
 
     # ------------------------------------------------------------------
     def _require_result(self):
         if self.result is None:
             raise RuntimeError("call run() first")
+
+    def _postsolve(self):
+        """Reconstruct the original-space solution if presolve ran
+        (reference postsolveComputedSolution, PIPSIPMppInterface.cpp:531)."""
+        if self._presolve_log is None:
+            return None
+        if getattr(self, "_postsolved", None) is not None:
+            return self._postsolved
+        from pips_ipmpp_tpu.presolve.postsolve import Postsolver, Solution
+        it = self.result.iterate
+        x = self._unscale_x(it)
+        y = self._scaler.unscale_y(it.y) if self._scaler else it.y
+        z = self._scaler.unscale_z(it.z) if self._scaler else it.z
+        sol = Solution(
+            x0=np.array(x.first, np.float64),
+            xN=np.array(x.blocks, np.float64),
+            y0=np.array(y.first, np.float64),
+            yN=np.array(y.blocks, np.float64),
+            yl=np.array(y.link, np.float64),
+            z0=np.array(z.first, np.float64),
+            zN=np.array(z.blocks, np.float64),
+            zl=np.array(z.link, np.float64))
+        self._postsolved = Postsolver(self.lp).postsolve(
+            self._presolve_log.events, sol)
+        return self._postsolved
 
     @property
     def n_iterations(self) -> int:
@@ -74,6 +112,9 @@ class PIPSIPMppTPUInterface:
 
     def gatherPrimalSolution(self) -> np.ndarray:
         self._require_result()
+        ps = self._postsolve()
+        if ps is not None:
+            return np.concatenate([ps.x0, ps.xN.reshape(-1)])
         x = self._unscale_x(self.result.iterate)
         if isinstance(self.lp, DenseLP):
             return np.asarray(x)
@@ -89,6 +130,9 @@ class PIPSIPMppTPUInterface:
 
     def gatherDualSolutionEq(self) -> np.ndarray:
         self._require_result()
+        ps = self._postsolve()
+        if ps is not None:
+            return np.concatenate([ps.y0, ps.yN.reshape(-1), ps.yl])
         y = self.result.iterate.y
         if self._scaler is not None:
             y = self._scaler.unscale_y(y)
@@ -100,6 +144,9 @@ class PIPSIPMppTPUInterface:
 
     def gatherDualSolutionIneq(self) -> np.ndarray:
         self._require_result()
+        ps = self._postsolve()
+        if ps is not None:
+            return np.concatenate([ps.z0, ps.zN.reshape(-1), ps.zl])
         z = self.result.iterate.z
         if self._scaler is not None:
             z = self._scaler.unscale_z(z)

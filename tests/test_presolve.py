@@ -1,0 +1,175 @@
+"""Presolve/postsolve tests: feature-targeted micro-LPs (the analog of the
+reference's GAMSsmall instance families: examples_boundTightening,
+examples_parallelRows, singleton instances — SURVEY.md §4) plus end-to-end
+objective equality with presolve on/off and postsolve residual validation."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
+from pips_ipmpp_tpu.core.options import Options, PresolverType
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+from pips_ipmpp_tpu.presolve import Presolver
+from pips_ipmpp_tpu.presolve.data import PresolveData
+from pips_ipmpp_tpu.presolve.postsolve import postsolve_residuals
+
+from tests.fixtures import random_arrowhead_lp, two_scenario_linking_lp
+
+
+def lp_with_redundancy():
+    """2-block LP seeded with singleton rows, a fixed column, parallel
+    rows, and slack bounds for strengthening."""
+    first = dict(
+        c=np.array([1.0, 0.5]),
+        A=np.array([[1.0, 0.0]]),          # singleton row: x0_0 = 2
+        b=np.array([2.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0, 1.0]), xlow=np.array([0.0, 0.0]),
+        ixupp=np.array([1.0, 1.0]), xupp=np.array([10.0, 3.0]),
+        F0=np.zeros((1, 2)), G0=np.zeros((1, 2)),
+    )
+    blocks = []
+    for i in range(2):
+        blocks.append(dict(
+            c=np.array([1.0, 2.0, 0.0]),
+            A=np.array([[0.0, 1.0], [0.0, 2.0]]),
+            # parallel rows: row2 = 2*row1
+            B=np.array([[1.0, 1.0, 0.0], [2.0, 2.0, 0.0]]),
+            b=np.array([4.0, 8.0]),
+            C=np.zeros((1, 2)),
+            D=np.array([[1.0, -1.0, 0.0]]),
+            iclow=np.array([0.0]), clow=np.array([0.0]),
+            icupp=np.array([1.0]), cupp=np.array([3.0]),
+            ixlow=np.ones(3), xlow=np.array([0.0, 0.0, 1.5]),
+            # third var is fixed by its bounds (column fixation)
+            ixupp=np.ones(3), xupp=np.array([5.0, 5.0, 1.5]),
+            F=np.array([[1.0, 0.0, 0.0]]),
+            G=np.array([[0.0, 1.0, 0.0]]),
+        ))
+    lp = make_arrowhead_lp(
+        blocks, first,
+        linking_eq={"b": np.array([3.0])},
+        linking_ineq={"iclow": np.array([1.0]), "clow": np.array([0.5]),
+                      "icupp": np.array([1.0]), "cupp": np.array([4.0])})
+    return lp
+
+
+def test_passes_fire():
+    lp = lp_with_redundancy()
+    pres = Presolver()
+    res = pres.presolve(lp)
+    assert not res.infeasible
+    assert res.stats.get("singleton_rows", 0) >= 1
+    assert res.stats.get("column_fixation", 0) >= 2   # one per block
+    assert res.stats.get("parallel_rows", 0) >= 2
+
+
+def test_presolve_preserves_objective_and_postsolves():
+    lp = lp_with_redundancy()
+    base = PIPSIPMppTPUInterface(lp, Options())
+    st0 = base.run()
+    assert st0 == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    iface = PIPSIPMppTPUInterface(
+        lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-6
+
+    sol = iface._postsolve()
+    res = postsolve_residuals(lp, sol)
+    for name, v in res.items():
+        assert v < 1e-6, f"postsolve residual {name} = {v} ({res})"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_presolve_on_random_lp(seed):
+    lp = random_arrowhead_lp(seed, N=4, n=6, mE=3, mI=4, n0=3, m0E=2,
+                             m0I=2, mEl=2, mIl=2)
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-5
+    sol = iface._postsolve()
+    res = postsolve_residuals(lp, sol)
+    for name, v in res.items():
+        assert v < 1e-5, f"{name}={v}"
+
+
+def test_presolve_two_scenario_lp():
+    lp, opt = two_scenario_linking_lp()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - opt) < 1e-6
+
+
+def test_infeasible_empty_row():
+    lp = lp_with_redundancy()
+    bad = dataclasses.replace(lp,
+                              A0=jnp.zeros_like(lp.A0),
+                              b0=jnp.ones_like(lp.b0) * 5.0)
+    # zero row with b=5 -> infeasible
+    pres = Presolver()
+    res = pres.presolve(bad)
+    assert res.infeasible
+
+
+def test_infeasible_crossed_bounds_via_singleton():
+    """Singleton ineq row forcing x <= -1 conflicts with x >= 0."""
+    first = dict(
+        c=np.array([1.0]), A=np.zeros((0, 1)), b=np.zeros(0),
+        C=np.array([[1.0]]),
+        iclow=np.array([0.0]), clow=np.array([0.0]),
+        icupp=np.array([1.0]), cupp=np.array([-1.0]),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([0.0]), xupp=np.array([0.0]),
+        F0=np.zeros((0, 1)), G0=np.zeros((0, 1)),
+    )
+    blocks = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 1)), B=np.array([[1.0]]),
+        b=np.array([0.0]), C=np.zeros((0, 1)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([0.0]), xupp=np.array([0.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    lp = make_arrowhead_lp(blocks, first)
+    res = Presolver().presolve(lp)
+    assert res.infeasible
+
+
+def test_bound_strengthening_tightens():
+    """x + y = 1 with x,y >= 0 implies x,y <= 1."""
+    first = dict(
+        c=np.array([-1.0, -1.0]),
+        A=np.array([[1.0, 1.0]]), b=np.array([1.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.ones(2), xlow=np.zeros(2),
+        ixupp=np.zeros(2), xupp=np.zeros(2),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    blocks = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([0.5]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([0.0]), xupp=np.array([0.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    lp = make_arrowhead_lp(blocks, first)
+    pd = PresolveData.from_lp(lp)
+    from pips_ipmpp_tpu.presolve.passes import bound_strengthening
+    k = bound_strengthening(pd)
+    assert k >= 2
+    assert pd.ixupp0[0] > 0 and abs(pd.xupp0[0] - 1.0) < 1e-12
+    assert pd.ixupp0[1] > 0 and abs(pd.xupp0[1] - 1.0) < 1e-12
