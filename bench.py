@@ -1,14 +1,15 @@
-"""Headline benchmark: steady-state IPM iteration throughput on a
-production-shaped arrowhead LP (one chip).
+"""Headline benchmark: full IPM solve to optimality on a
+production-shaped arrowhead LP (one chip), fused on-device loop.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The metric is IPM iterations/second — each iteration = batched factorization
-of all block KKTs (condensed Cholesky) + Schur assembly/reduction + root
-factorization + predictor, corrector and Gondzio solves.  The reference
-publishes no absolute numbers (BASELINE.md), so vs_baseline is reported
-against the first recorded value of this bench (stored in BENCH_NOMINAL.json
-once measured); 1.0 until then.
+The metric is IPM iterations/second of a CONVERGED solve — each iteration =
+batched factorization of all block KKTs (condensed Cholesky at true-f32
+matmul precision) + Schur assembly + root factorization + predictor,
+corrector and Gondzio solves + adaptive refinement — with the entire outer
+loop on device (lax.while_loop). The reference publishes no absolute
+numbers (BASELINE.md), so vs_baseline compares against the first recorded
+value of this bench (BENCH_NOMINAL.json); 1.0 until then.
 """
 import json
 import os
@@ -25,42 +26,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # 64 first-stage vars, 32+32 linking rows
 SHAPE = dict(N=64, n=256, mE=128, mI=128, n0=64, m0E=32, m0I=32,
              mEl=32, mIl=32)
-WARMUP = 2
-ITERS = 10
 
 
 def main():
-    from pips_ipmpp_tpu.core.options import Options
+    from pips_ipmpp_tpu.core.options import Options, ScalerType
+    from pips_ipmpp_tpu.core.status import TerminationStatus
     from pips_ipmpp_tpu.io.synthetic import random_arrowhead_lp
-    from pips_ipmpp_tpu.ipm.mehrotra import ipm_step
-    from pips_ipmpp_tpu.ipm.solver import _init_fn
+    from pips_ipmpp_tpu.ipm.solver import IPMSolver
     from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+    from pips_ipmpp_tpu.scale import make_scaler
 
-    dtype = jnp.float32  # hot path precision on TPU (f64 residual path is
-    # exercised in tests; the factorization benchmark runs at MXU precision)
+    dtype = jnp.float32   # production TPU precision (true-f32 matmuls are
+    # forced by the solver; converges to the reference tolerances)
     lp = random_arrowhead_lp(0, dtype=dtype, **SHAPE)
-    opts = Options(max_gondzio_correctors=2, refinement_steps=1)
-    ctor = partial(ArrowBackend, factor_dtype=dtype)
-    it, _ = _init_fn(ctor, opts, lp)
+    lp = make_scaler(ScalerType.GEOMETRIC_MEAN).scale(lp)
+    opts = Options(refinement_steps=4, max_gondzio_correctors=2)
+    solver = IPMSolver(partial(ArrowBackend, factor_dtype=dtype), opts)
 
-    @jax.jit
-    def step(lp, it):
-        be = ArrowBackend(lp, factor_dtype=dtype)
-        new_it, stats = ipm_step(be, it, 1e-6, 1e-6, opts)
-        return new_it, stats.mu
-
-    for _ in range(WARMUP):
-        it2, mu = step(lp, it)
-        jax.block_until_ready(it2)
+    res = solver.solve_fused(lp)          # compile + first solve
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION, res.status
 
     t0 = time.perf_counter()
-    cur = it
-    for _ in range(ITERS):
-        cur, mu = step(lp, cur)
-    jax.block_until_ready(cur)
-    dt = (time.perf_counter() - t0) / ITERS
+    res = solver.solve_fused(lp)
+    dt = time.perf_counter() - t0
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
 
-    value = 1.0 / dt
+    value = res.iterations / dt
     nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_NOMINAL.json")
     vs_baseline = 1.0

@@ -59,7 +59,8 @@ class Options:
     dual_regularization: float = 1e-10     # delta_d
     regularization_growth: float = 100.0   # escalation on factorization failure
     max_regularization_retries: int = 6
-    refinement_steps: int = 1              # iterative refinement sweeps per solve
+    refinement_steps: int = 4              # max adaptive refinement sweeps
+                                           # (early exit on small residual)
     refinement_tolerance: float = 1e-9
     outer_bicgstab: bool = False           # OUTER_SOLVE=2 analog
     outer_max_iters: int = 8

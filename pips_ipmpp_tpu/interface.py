@@ -14,6 +14,24 @@ from pips_ipmpp_tpu.core.options import Options, PresolverType, ScalerType
 from pips_ipmpp_tpu.core.status import TerminationStatus
 
 
+def resolve_factor_dtype(opts: Options):
+    """Mixed-precision policy: factorize in f32 on accelerators (MXU speed;
+    f64 on TPU is software-emulated and ~90x slower), f64 on CPU; residuals
+    and refinement always run in the working dtype (f64 when x64 is on).
+    The role of the reference's iterative-refinement accuracy absorption
+    (LinearSystem.C:877, SURVEY.md §7 'fp64 vs fp32')."""
+    import jax
+    import jax.numpy as jnp
+    if opts.factor_dtype == "float32":
+        return jnp.float32
+    if opts.factor_dtype == "float64":
+        return jnp.float64
+    if not jax.config.jax_enable_x64:
+        return jnp.float32
+    return (jnp.float32 if jax.devices()[0].platform != "cpu"
+            else jnp.float64)
+
+
 class PIPSIPMppTPUInterface:
     """Facade wiring scaler -> solver -> postsolve (ctor order mirrors
     PIPSIPMppInterface.cpp:20-130)."""
@@ -25,14 +43,19 @@ class PIPSIPMppTPUInterface:
         self._scaler = None
         self._presolve_log = None
 
+        from functools import partial
+
         from pips_ipmpp_tpu.ipm.solver import IPMSolver
 
+        fd = resolve_factor_dtype(self.options)
         if isinstance(lp, DenseLP):
             from pips_ipmpp_tpu.linalg.dense_backend import DenseBackend
-            self._solver = IPMSolver(DenseBackend, self.options)
+            self._solver = IPMSolver(partial(DenseBackend, factor_dtype=fd),
+                                     self.options)
         elif isinstance(lp, ArrowheadLP):
             from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
-            self._solver = IPMSolver(ArrowBackend, self.options)
+            self._solver = IPMSolver(partial(ArrowBackend, factor_dtype=fd),
+                                     self.options)
         else:
             raise TypeError(f"unsupported problem type {type(lp)}")
 

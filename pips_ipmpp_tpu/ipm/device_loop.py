@@ -1,0 +1,155 @@
+"""Fully on-device IPM solve: the entire outer loop (residual evaluation,
+termination tests, regularization escalation, predictor-corrector step) runs
+inside one jitted `lax.while_loop` — zero host<->device roundtrips until the
+solve finishes.
+
+This is the TPU-native answer to the reference's rank-0-driven outer loop
+(PIPSIPMppSolver.cpp:29-194): where MPI ranks synchronize per iteration
+anyway, a single-controller TPU program pays tunnel latency per host sync,
+so the control flow moves onto the device.  Per-iteration statistics are
+written into preallocated arrays and fetched once at the end.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pips_ipmpp_tpu.core.options import Options
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.ipm import formulation as F
+from pips_ipmpp_tpu.ipm.mehrotra import ipm_step
+from pips_ipmpp_tpu.ipm.solver import _init_fn
+
+# status codes inside the device loop
+RUNNING = 0
+SUCCESS = 1
+INFEASIBLE = 2
+STALLED = 3
+FACTOR_FAIL = 4
+
+
+@dataclass
+class FusedHistory:
+    mu: Any
+    residual: Any
+    objective: Any
+    alpha_primal: Any
+    alpha_dual: Any
+
+
+jax.tree_util.register_pytree_node(
+    FusedHistory,
+    lambda h: ((h.mu, h.residual, h.objective, h.alpha_primal,
+                h.alpha_dual), None),
+    lambda _, c: FusedHistory(*c))
+
+
+def solve_on_device(be_ctor, opts: Options, lp):
+    """Run the full solve on device. Returns (iterate, info dict of arrays).
+
+    Traceable end-to-end: call under jit (or shard_map) with the LP pytree.
+    """
+    mu_tol, res_tol = opts.tolerances()
+    max_it = opts.max_iterations
+
+    be = be_ctor(lp)
+    it0, datanorm = _init_fn(be_ctor, opts, lp)
+    res_scale = res_tol * jnp.maximum(datanorm, 1.0)
+
+    hist0 = FusedHistory(
+        mu=jnp.full((max_it,), jnp.nan, datanorm.dtype),
+        residual=jnp.full((max_it,), jnp.nan, datanorm.dtype),
+        objective=jnp.full((max_it,), jnp.nan, datanorm.dtype),
+        alpha_primal=jnp.full((max_it,), jnp.nan, datanorm.dtype),
+        alpha_dual=jnp.full((max_it,), jnp.nan, datanorm.dtype))
+
+    dp0 = jnp.asarray(opts.primal_regularization, datanorm.dtype)
+    dd0 = jnp.asarray(opts.dual_regularization, datanorm.dtype)
+
+    def eval_all(it):
+        res = F.compute_residuals(be, it)
+        return (F.mu(be, it), F.residual_norm(res, be.axis),
+                be.objective(it.x))
+
+    def cond(carry):
+        it, k, dp, dd, status, best_mu, stall, hist = carry
+        return (status == RUNNING) & (k < max_it)
+
+    def body(carry):
+        it, k, dp, dd, status, best_mu, stall, hist = carry
+        mu_v, res_v, obj_v = eval_all(it)
+
+        converged = (mu_v <= mu_tol) & (res_v <= res_scale)
+        diverged = ~jnp.isfinite(mu_v) | (mu_v > opts.divergence_mu)
+        improving = mu_v < best_mu * 0.999
+        stall = jnp.where(improving, 0, stall + 1)
+        best_mu = jnp.minimum(best_mu, mu_v)
+        stalled = stall >= 30
+
+        new_status = jnp.where(
+            converged, SUCCESS,
+            jnp.where(diverged, INFEASIBLE,
+                      jnp.where(stalled, STALLED, RUNNING))).astype(jnp.int32)
+
+        def do_step(args):
+            it, dp, dd = args
+            new_it, stats = ipm_step(be, it, dp, dd, opts)
+            ok = stats.factor_ok
+            # on factorization failure: keep iterate, escalate deltas
+            # (inertia-free ladder; retried next loop turn)
+            kept = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new_it, it)
+            dp2 = jnp.where(ok, dp, dp * opts.regularization_growth + 1e-12)
+            dd2 = jnp.where(ok, dd, dd * opts.regularization_growth + 1e-12)
+            too_big = dp2 > 1e2
+            return kept, dp2, dd2, stats, too_big
+
+        def no_step(args):
+            it, dp, dd = args
+            from pips_ipmpp_tpu.ipm.mehrotra import StepStats
+            zero = jnp.zeros((), mu_v.dtype)
+            stats = StepStats(mu=mu_v, sigma=zero, alpha_primal=zero,
+                              alpha_dual=zero,
+                              n_gondzio=jnp.zeros((), jnp.int32),
+                              factor_ok=jnp.asarray(True))
+            return it, dp, dd, stats, jnp.asarray(False)
+
+        it2, dp2, dd2, stats, reg_fail = jax.lax.cond(
+            new_status == RUNNING, do_step, no_step, (it, dp, dd))
+        new_status = jnp.where(reg_fail, FACTOR_FAIL,
+                               new_status).astype(jnp.int32)
+
+        hist = FusedHistory(
+            mu=hist.mu.at[k].set(mu_v),
+            residual=hist.residual.at[k].set(res_v),
+            objective=hist.objective.at[k].set(obj_v),
+            alpha_primal=hist.alpha_primal.at[k].set(stats.alpha_primal),
+            alpha_dual=hist.alpha_dual.at[k].set(stats.alpha_dual))
+        return (it2, k + 1, dp2, dd2, new_status, best_mu, stall, hist)
+
+    init = (it0, jnp.zeros((), jnp.int32), dp0, dd0,
+            jnp.asarray(RUNNING, jnp.int32),
+            jnp.asarray(jnp.inf, datanorm.dtype),
+            jnp.zeros((), jnp.int32), hist0)
+    it, k, dp, dd, status, _, _, hist = jax.lax.while_loop(cond, body, init)
+    mu_f, res_f, obj_f = eval_all(it)
+    info = dict(status=status, iterations=k, mu=mu_f, residual_norm=res_f,
+                objective=obj_f, history=hist, delta_p=dp, delta_d=dd)
+    return it, info
+
+
+_STATUS_MAP = {
+    SUCCESS: TerminationStatus.SUCCESSFUL_TERMINATION,
+    INFEASIBLE: TerminationStatus.INFEASIBLE,
+    STALLED: TerminationStatus.UNKNOWN,
+    FACTOR_FAIL: TerminationStatus.UNKNOWN,
+    RUNNING: TerminationStatus.MAX_ITS_EXCEEDED,
+}
+
+
+def decode_status(code: int) -> TerminationStatus:
+    return _STATUS_MAP[int(code)]

@@ -98,21 +98,35 @@ class IPMSolver:
     executable)."""
 
     def __init__(self, be_ctor: Callable, opts: Optional[Options] = None):
+        # f32 matmuls on TPU default to bf16 MXU passes, which destroys the
+        # factorization accuracy the IPM needs (observed: stall at mu~1e-3).
+        # Force true-f32 (3-pass) matmuls; no-op for f64/CPU.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.be_ctor = be_ctor
         self.opts = opts or Options()
         self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))
         self._eval = jax.jit(partial(_eval_fn, be_ctor))
         self._init = jax.jit(partial(_init_fn, be_ctor, self.opts))
 
-    def solve(self, lp, callback=None) -> SolveResult:
+    def solve(self, lp, callback=None, checkpoint_path: str | None = None,
+              checkpoint_every: int = 10,
+              resume: bool = False) -> SolveResult:
         opts = self.opts
         mu_tol, res_tol = opts.tolerances()
 
-        it, datanorm = self._init(lp)
-        datanorm = float(datanorm)
-
+        k0 = 0
         dp = opts.primal_regularization
         dd = opts.dual_regularization
+
+        import os
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from pips_ipmpp_tpu.ipm.checkpoint import load_checkpoint
+            it, k0, dp, dd, _ = load_checkpoint(checkpoint_path)
+            _, datanorm = self._init(lp)   # datanorm only
+            datanorm = float(datanorm)
+        else:
+            it, datanorm = self._init(lp)
+            datanorm = float(datanorm)
 
         history: list[IterationInfo] = []
         status = TerminationStatus.MAX_ITS_EXCEEDED
@@ -120,9 +134,12 @@ class IPMSolver:
         best_mu = float("inf")
         stall = 0
 
-        k = 0
-        for k in range(opts.max_iterations):
-            mu_v, res_v, gap_v, obj_v = [float(v) for v in self._eval(lp, it)]
+        k = k0
+        for k in range(k0, opts.max_iterations):
+            # single host<->device roundtrip for all four scalars (per-scalar
+            # float() costs one transfer each — expensive over remote links)
+            mu_v, res_v, gap_v, obj_v = [
+                float(v) for v in jax.device_get(self._eval(lp, it))]
 
             if opts.print_level >= 10:
                 print(f"iter {k:3d}  obj {obj_v: .8e}  mu {mu_v:.3e}  "
@@ -145,28 +162,34 @@ class IPMSolver:
                     break
 
             new_it, stats = self._step(lp, it, dp, dd)
-            ok = bool(stats.factor_ok)
+            stats_h = jax.device_get(stats)   # one transfer for all scalars
+            ok = bool(stats_h.factor_ok)
             retries = 0
             while not ok and retries < opts.max_regularization_retries:
                 # inertia-free regularization escalation
                 dp = dp * opts.regularization_growth + 1e-12
                 dd = dd * opts.regularization_growth + 1e-12
                 new_it, stats = self._step(lp, it, dp, dd)
-                ok = bool(stats.factor_ok)
+                stats_h = jax.device_get(stats)
+                ok = bool(stats_h.factor_ok)
                 retries += 1
             if not ok:
                 status = TerminationStatus.UNKNOWN
                 break
 
             it = new_it
+            if (checkpoint_path and checkpoint_every > 0
+                    and (k + 1) % checkpoint_every == 0):
+                from pips_ipmpp_tpu.ipm.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, it, k + 1, dp, dd)
             if opts.record_history:
                 history.append(IterationInfo(
                     iteration=k, mu=mu_v, residual_norm=res_v,
                     duality_gap=float(gap_v), objective=float(obj_v),
-                    alpha_primal=float(stats.alpha_primal),
-                    alpha_dual=float(stats.alpha_dual),
-                    sigma=float(stats.sigma),
-                    n_gondzio=int(stats.n_gondzio)))
+                    alpha_primal=float(stats_h.alpha_primal),
+                    alpha_dual=float(stats_h.alpha_dual),
+                    sigma=float(stats_h.sigma),
+                    n_gondzio=int(stats_h.n_gondzio)))
             if callback is not None:
                 callback(k, it, history[-1] if history else None)
 
@@ -174,3 +197,36 @@ class IPMSolver:
         return SolveResult(status=status, iterate=it, iterations=k,
                            objective=obj_v, mu=mu_v, residual_norm=res_v,
                            history=history)
+
+    # ------------------------------------------------------------------
+    def solve_fused(self, lp) -> SolveResult:
+        """Fully on-device solve (lax.while_loop outer loop, one compile,
+        zero host roundtrips until done) — see ipm.device_loop."""
+        from pips_ipmpp_tpu.ipm.device_loop import (decode_status,
+                                                    solve_on_device)
+        if not hasattr(self, "_fused"):
+            self._fused = jax.jit(
+                partial(solve_on_device, self.be_ctor, self.opts))
+        it, info = self._fused(lp)
+        info_h = jax.device_get({k: v for k, v in info.items()
+                                 if k != "history"})
+        hist = jax.device_get(info["history"]) if self.opts.record_history \
+            else None
+        history = []
+        if hist is not None:
+            for i in range(int(info_h["iterations"])):
+                history.append(IterationInfo(
+                    iteration=i, mu=float(hist.mu[i]),
+                    residual_norm=float(hist.residual[i]),
+                    duality_gap=float("nan"),
+                    objective=float(hist.objective[i]),
+                    alpha_primal=float(hist.alpha_primal[i]),
+                    alpha_dual=float(hist.alpha_dual[i]),
+                    sigma=float("nan"), n_gondzio=-1))
+        return SolveResult(
+            status=decode_status(info_h["status"]), iterate=it,
+            iterations=int(info_h["iterations"]),
+            objective=float(info_h["objective"]),
+            mu=float(info_h["mu"]),
+            residual_norm=float(info_h["residual_norm"]),
+            history=history)

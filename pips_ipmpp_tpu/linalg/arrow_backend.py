@@ -190,18 +190,25 @@ class ArrowBackend:
             jnp.concatenate([lp.C, jnp.zeros((lp.N, mI, mEl + mIl),
                                              Einv.dtype)], axis=2)],
             axis=1)                                            # [N,mE+mI,nS]
-        rhsU = jnp.einsum("iam,imS->iaS", M, EiRx) - Rm
-        Um = _bchol_solve(L, rhsU.astype(fd)).astype(Einv.dtype)
-        Ux = EiRx - Einv[:, :, None] * jnp.einsum("iam,iaS->imS", M, Um)
+        Mf = M.astype(fd)
+        EiRxf = EiRx.astype(fd)
+        rhsU = jnp.einsum("iam,imS->iaS", Mf, EiRxf) - Rm.astype(fd)
+        Um = _bchol_solve(L, rhsU)
+        Ux = EiRxf - Einv.astype(fd)[:, :, None] * jnp.einsum(
+            "iam,iaS->imS", Mf, Um)
 
         # ---- Schur contribution  -R' U  (psum = the SC allreduce) ----
-        # R'U rows: [A'U_my + C'U_mz ; F U_x ; G U_x]
-        contrib_x0 = (jnp.einsum("imk,imS->kS", lp.A, Um[:, :mE])
-                      + jnp.einsum("imk,imS->kS", lp.C, Um[:, mE:]))
-        contrib_yl = jnp.einsum("ilm,imS->lS", lp.F, Ux)
-        contrib_zl = jnp.einsum("ilm,imS->lS", lp.G, Ux)
+        # R'U rows: [A'U_my + C'U_mz ; F U_x ; G U_x]; factor dtype on the
+        # MXU — refinement absorbs the error in the working dtype
+        contrib_x0 = (jnp.einsum("imk,imS->kS", lp.A.astype(fd), Um[:, :mE])
+                      + jnp.einsum("imk,imS->kS", lp.C.astype(fd), Um[:, mE:]))
+        contrib_yl = jnp.einsum("ilm,imS->lS", lp.F.astype(fd), Ux)
+        contrib_zl = jnp.einsum("ilm,imS->lS", lp.G.astype(fd), Ux)
+        Um = Um.astype(Einv.dtype)
+        Ux = Ux.astype(Einv.dtype)
         contrib = self._psum(
-            jnp.concatenate([contrib_x0, contrib_yl, contrib_zl], axis=0))
+            jnp.concatenate([contrib_x0, contrib_yl, contrib_zl],
+                            axis=0)).astype(Einv.dtype)
 
         # ---- root matrix S over s0full = [x0; y0; z0; yl; zl] ----
         Einv0 = 1.0 / (Dx.first + delta_p)
@@ -303,14 +310,54 @@ class ArrowBackend:
         dx_first, dx_blocks, d0, gm = self._solve_core(
             fac, p0, q0, rho_x, rho_m)
 
-        for _ in range(refinement_steps):
-            (ex0, eq0, ex, em) = self._aug_residual(
-                fac, p0, q0, rho_x, rho_m, dx_first, dx_blocks, d0, gm)
-            cx0, cxb, cd0, cgm = self._solve_core(fac, ex0, eq0, ex, em)
-            dx_first = dx_first + cx0
-            dx_blocks = dx_blocks + cxb
-            d0 = d0 + cd0
-            gm = gm + cgm
+        if refinement_steps > 0:
+            # adaptive iterative refinement on the f64 augmented residual
+            # (absorbs f32 factorization error; the role of
+            # solveCompressedIterRefin, LinearSystem.C:877)
+            rhs_norm = jnp.maximum(self._psum(
+                jnp.max(jnp.abs(rho_x)) if rho_x.size else 0.0),
+                jnp.maximum(jnp.max(jnp.abs(p0)) if p0.size else 0.0,
+                            jnp.max(jnp.abs(q0)) if q0.size else 0.0))
+            rhs_norm = jnp.maximum(rhs_norm, 1e-30)
+
+            def resid_norm(state):
+                dxf, dxb, dd0, dgm = state
+                ex0, eq0, ex, em = self._aug_residual(
+                    fac, p0, q0, rho_x, rho_m, dxf, dxb, dd0, dgm)
+                nrm = jnp.maximum(
+                    jnp.max(jnp.abs(ex)) if ex.size else 0.0,
+                    jnp.maximum(jnp.max(jnp.abs(em)) if em.size else 0.0,
+                                jnp.maximum(
+                                    jnp.max(jnp.abs(ex0)) if ex0.size else 0.0,
+                                    jnp.max(jnp.abs(eq0)) if eq0.size else 0.0)))
+                if self.axis is not None:
+                    nrm = jax.lax.pmax(nrm, self.axis)
+                return (ex0, eq0, ex, em), nrm
+
+            def cond(carry):
+                state, res, k, nrm, prev = carry
+                improving = nrm < 0.25 * prev
+                return ((k < refinement_steps)
+                        & (nrm > 1e-11 * rhs_norm) & improving)
+
+            def body(carry):
+                state, (ex0, eq0, ex, em), k, nrm, _prev = carry
+                cx0, cxb, cd0, cgm = self._solve_core(fac, ex0, eq0, ex, em)
+                dxf, dxb, dd0, dgm = state
+                new = (dxf + cx0, dxb + cxb, dd0 + cd0, dgm + cgm)
+                res2, nrm2 = resid_norm(new)
+                # keep the better iterate if refinement diverged
+                worse = nrm2 > nrm
+                keep = jax.tree.map(
+                    lambda a, b: jnp.where(worse, a, b), state, new)
+                return (keep, res2, k + 1, jnp.where(worse, nrm, nrm2),
+                        nrm)
+
+            state0 = (dx_first, dx_blocks, d0, gm)
+            res0, nrm0 = resid_norm(state0)
+            (dx_first, dx_blocks, d0, gm), _, _, _, _ = jax.lax.while_loop(
+                cond, body, (state0, res0, jnp.zeros((), jnp.int32), nrm0,
+                             jnp.asarray(jnp.inf, nrm0.dtype)))
 
         # unpack: d0 = [yhat0, zhat0, yhat_l, zhat_l]; gm = [yhat_i, zhat_i]
         yhat = RVec(d0[:m0E], gm[:, :mE], d0[m0E + m0I:m0E + m0I + mEl])

@@ -125,11 +125,34 @@ class DenseBackend:
         rho_x = -rhs.rhat_x
         rho_m = jnp.concatenate([-rhs.rA, -rhs.rhat_z])
         dx, d = self._solve_once(fac, rho_x, rho_m)
-        for _ in range(refinement_steps):
-            top, bot = self._apply_K(fac, dx, d)
-            ex, em = rho_x - top, rho_m - bot
-            cx, cd = self._solve_once(fac, ex, em)
-            dx, d = dx + cx, d + cd
+        if refinement_steps > 0:
+            rhs_norm = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(rho_x)) if rho_x.size else 0.0,
+                            jnp.max(jnp.abs(rho_m)) if rho_m.size else 0.0),
+                1e-30)
+
+            def resid(dx, d):
+                top, bot = self._apply_K(fac, dx, d)
+                ex, em = rho_x - top, rho_m - bot
+                nrm = jnp.maximum(
+                    jnp.max(jnp.abs(ex)) if ex.size else 0.0,
+                    jnp.max(jnp.abs(em)) if em.size else 0.0)
+                return ex, em, nrm
+
+            def cond(carry):
+                dx, d, ex, em, k, nrm = carry
+                return (k < refinement_steps) & (nrm > 1e-11 * rhs_norm)
+
+            def body(carry):
+                dx, d, ex, em, k, _ = carry
+                cx, cd = self._solve_once(fac, ex, em)
+                dx, d = dx + cx, d + cd
+                ex2, em2, nrm2 = resid(dx, d)
+                return dx, d, ex2, em2, k + 1, nrm2
+
+            ex0, em0, nrm0 = resid(dx, d)
+            dx, d, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (dx, d, ex0, em0, jnp.zeros((), jnp.int32), nrm0))
         yhat = d[:lp.mE]
         zhat = d[lp.mE:]
         return dx, -yhat, -zhat
