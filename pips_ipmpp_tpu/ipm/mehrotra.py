@@ -33,9 +33,15 @@ class StepStats:
     factor_ok: Any
 
 
-def _solve_dir(be, it, res, comp, Ominv, fac, refinement_steps):
+def _solve_dir(be, it, res, comp, Ominv, fac, opts: Options):
     rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
-    dx, dy, dz = be.solve_reduced(fac, rhs, refinement_steps)
+    if opts.outer_bicgstab and hasattr(be, "solve_reduced_bicgstab"):
+        # OUTER_SOLVE=2: BiCGStab on the full structured KKT, direct solve
+        # as preconditioner (reference gmspips.cpp:79 forces this mode)
+        dx, dy, dz, _stats = be.solve_reduced_bicgstab(
+            fac, rhs, max_iters=opts.outer_max_iters)
+    else:
+        dx, dy, dz = be.solve_reduced(fac, rhs, opts.refinement_steps)
     return F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
 
 
@@ -53,11 +59,10 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
     ok = be.factorization_ok(fac)
 
     mu = F.mu(be, it)
-    rs = opts.refinement_steps
 
     # ---- predictor (affine scaling) ----
     comp_aff = F.comp_rhs_affine(be, it)
-    d_aff = _solve_dir(be, it, res, comp_aff, Ominv, fac, rs)
+    d_aff = _solve_dir(be, it, res, comp_aff, Ominv, fac, opts)
     ap_aff, ad_aff = _alphas(be, it, d_aff, opts)
     mu_aff = F.mu_after_step(be, it, d_aff, ap_aff, ad_aff)
 
@@ -67,7 +72,7 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
 
     # ---- corrector (combined direction) ----
     comp_corr = F.comp_rhs_corrector(be, it, d_aff, sigma_mu)
-    d = _solve_dir(be, it, res, comp_corr, Ominv, fac, rs)
+    d = _solve_dir(be, it, res, comp_corr, Ominv, fac, opts)
     a_p, a_d = _alphas(be, it, d, opts)
 
     # ---- Gondzio multiple centrality correctors (reference :236-358) ----
@@ -87,7 +92,7 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
             ad_t = jnp.minimum(ad_c + 0.08, 1.0)
             comp_g = F.comp_rhs_gondzio(be, it, d_c, ap_t, ad_t, sigma_mu,
                                         opts.beta_min, opts.beta_max)
-            corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, rs)
+            corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, opts)
             d_new = jax.tree.map(lambda a, b: a + b, d_c, corr)
             ap_n, ad_n = _alphas(be, it, d_new, opts)
             # accept if both step lengths improved enough (reference

@@ -394,6 +394,115 @@ class ArrowBackend:
         gm_out = gm - jnp.einsum("iaS,S->ia", fac.Um, s0)
         return a, dx_blocks, d, gm_out
 
+    # ------------------------------------------------------------------
+    # Outer BiCGStab on the full structured augmented system, preconditioned
+    # by one structured solve (the reference's OUTER_SOLVE=2 path:
+    # LinearSystem::solveCompressedBiCGStab, LinearSystem.C:550, with the
+    # preconditioner being solveCompressed, :500-515).
+    # ------------------------------------------------------------------
+    def _state_dot(self, a, b):
+        ax0, axb, ad0, agm = a
+        bx0, bxb, bd0, bgm = b
+        rep = jnp.vdot(ax0, bx0) + jnp.vdot(ad0, bd0)
+        shard = jnp.vdot(axb, bxb) + jnp.vdot(agm, bgm)
+        return rep + self._psum(shard)
+
+    def _apply_K(self, fac, state):
+        """K . state (uses _aug_residual with zero rhs)."""
+        dxf, dxb, dd0, dgm = state
+        z0 = jnp.zeros_like(dxf)
+        zb = jnp.zeros_like(dxb)
+        zq = jnp.zeros_like(dd0)
+        zm = jnp.zeros_like(dgm)
+        ex0, eq0, ex, em = self._aug_residual(
+            fac, z0, zq, zb, zm, dxf, dxb, dd0, dgm)
+        # residual of 0 rhs = -K.state; reorder to state layout
+        return (-ex0, -ex, -eq0, -em)
+
+    def solve_reduced_bicgstab(self, fac: ArrowFactors, rhs: ReducedRhs,
+                               max_iters: int = 8, tol: float = 1e-10):
+        """BiCGStab on K u = rho with M^{-1} = structured direct solve.
+        Returns (dx, dy, dz, stats dict) — stats feed the IPM's
+        numerical-troubles logic (the Subject/Observer pattern of the
+        reference, Core/Base/Observer.h + InteriorPointMethod.cpp:819-831).
+        """
+        lp = self.lp
+        m0E, m0I, mEl = lp.m0E, lp.m0I, lp.mEl
+        mE = lp.mE
+
+        b = (-rhs.rhat_x.first,
+             jnp.concatenate([-rhs.rA.first, -rhs.rhat_z.first,
+                              -rhs.rA.link, -rhs.rhat_z.link]),
+             -rhs.rhat_x.blocks,
+             jnp.concatenate([-rhs.rA.blocks, -rhs.rhat_z.blocks], axis=1))
+        # state layout used by _solve_core/_apply_K: (x0, xb, d0, gm)
+        b = (b[0], b[2], b[1], b[3])
+
+        def precond(v):
+            x0, xb, d0, gm = v
+            return self._solve_core(fac, x0, d0, xb, gm)
+
+        tadd = lambda s, t, c: jax.tree.map(lambda a, bb: a + c * bb, s, t)
+        tsub = lambda s, t, c: jax.tree.map(lambda a, bb: a - c * bb, s, t)
+
+        bnorm = jnp.sqrt(jnp.maximum(self._state_dot(b, b), 1e-300))
+
+        u0 = precond(b)                     # start from the direct solution
+        r0 = jax.tree.map(lambda x, y: x - y, b, self._apply_K(fac, u0))
+        rhat = r0
+        rho0 = self._state_dot(rhat, r0)
+        rnorm0 = jnp.sqrt(jnp.maximum(self._state_dot(r0, r0), 0.0))
+
+        def cond(carry):
+            u, r, p, v, rho, alpha, omega, k, rnorm, flag = carry
+            return ((k < max_iters) & (rnorm > tol * bnorm)
+                    & (flag == 0))
+
+        def body(carry):
+            u, r, p, v, rho_prev, alpha, omega, k, rnorm, flag = carry
+            rho = self._state_dot(rhat, r)
+            breakdown = jnp.abs(rho) < 1e-300
+            beta = (rho / jnp.where(breakdown, 1.0, rho_prev)) \
+                * (alpha / jnp.where(jnp.abs(omega) < 1e-300, 1.0, omega))
+            p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv),
+                             r, p, v)
+            ph = precond(p)
+            v2 = self._apply_K(fac, ph)
+            denom = self._state_dot(rhat, v2)
+            alpha2 = rho / jnp.where(jnp.abs(denom) < 1e-300, 1.0, denom)
+            s = tsub(r, v2, alpha2)
+            sh = precond(s)
+            t = self._apply_K(fac, sh)
+            tt = self._state_dot(t, t)
+            omega2 = self._state_dot(t, s) / jnp.maximum(tt, 1e-300)
+            u2 = tadd(tadd(u, ph, alpha2), sh, omega2)
+            r2 = tsub(s, t, omega2)
+            rnorm2 = jnp.sqrt(jnp.maximum(self._state_dot(r2, r2), 0.0))
+            # divergence/breakdown detection (reference BiCGStabSolver)
+            flag2 = jnp.where(breakdown | (jnp.abs(denom) < 1e-300),
+                              jnp.asarray(1, jnp.int32),
+                              jnp.where(rnorm2 > 1e4 * rnorm0,
+                                        jnp.asarray(2, jnp.int32),
+                                        jnp.asarray(0, jnp.int32)))
+            return (u2, r2, p, v2, rho, alpha2, omega2, k + 1, rnorm2, flag2)
+
+        zerov = jax.tree.map(jnp.zeros_like, b)
+        carry0 = (u0, r0, zerov, zerov, rho0,
+                  jnp.ones((), bnorm.dtype), jnp.ones((), bnorm.dtype),
+                  jnp.zeros((), jnp.int32), rnorm0,
+                  jnp.zeros((), jnp.int32))
+        u, r, _, _, _, _, _, k, rnorm, flag = jax.lax.while_loop(
+            cond, body, carry0)
+
+        dx_first, dx_blocks, d0, gm = u
+        yhat = RVec(d0[:m0E], gm[:, :mE], d0[m0E + m0I:m0E + m0I + mEl])
+        zhat = RVec(d0[m0E:m0E + m0I], gm[:, mE:], d0[m0E + m0I + mEl:])
+        dx = XVec(dx_first, dx_blocks)
+        stats = dict(iterations=k, relres=rnorm / bnorm,
+                     converged=(rnorm <= tol * bnorm), flag=flag)
+        return dx, jax.tree.map(lambda v_: -v_, yhat), \
+            jax.tree.map(lambda v_: -v_, zhat), stats
+
     def _aug_residual(self, fac, p0, q0, rho_x, rho_m,
                       dx_first, dx_blocks, d0, gm):
         """Residual of the full augmented arrowhead system (for refinement).
