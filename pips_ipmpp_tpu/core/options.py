@@ -74,6 +74,8 @@ class Options:
     mesh_axis: str = "blocks"
     hierarchical: bool = False
     hierarchical_layers: int = 2
+    hierarchical_num_groups: int = 0   # 0 = auto (divisor of N near sqrt(N),
+                                       # the reference's splitTree policy)
 
     # ---- observability ----
     print_level: int = 0

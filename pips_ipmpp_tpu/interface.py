@@ -32,6 +32,17 @@ def resolve_factor_dtype(opts: Options):
             else jnp.float64)
 
 
+def _auto_groups(N: int) -> int:
+    """Largest divisor of N not exceeding sqrt(N) (reference
+    mapChildrenToNSubTrees picks ~sqrt(N) sub-roots, DistributedTree.h:166)."""
+    import math
+    best = 1
+    for g in range(1, int(math.isqrt(N)) + 1):
+        if N % g == 0:
+            best = g
+    return best
+
+
 class PIPSIPMppTPUInterface:
     """Facade wiring scaler -> solver -> postsolve (ctor order mirrors
     PIPSIPMppInterface.cpp:20-130)."""
@@ -42,6 +53,8 @@ class PIPSIPMppTPUInterface:
         self.result = None
         self._scaler = None
         self._presolve_log = None
+        self._hier_meta = None
+        self._orig_link_dims = None
 
         from functools import partial
 
@@ -78,6 +91,22 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.scale import make_scaler
             self._scaler = make_scaler(self.options.scaler)
             lp = self._scaler.scale(lp)
+        # hierarchical two-level Schur (reference switchToHierarchicalData,
+        # PIPSIPMppInterface.cpp:81-89): transform last so every other
+        # stage sees the flat layout
+        if self.options.hierarchical and isinstance(lp, ArrowheadLP):
+            from functools import partial
+
+            from pips_ipmpp_tpu.ipm.solver import IPMSolver
+            from pips_ipmpp_tpu.linalg.hier_backend import (
+                HierArrowBackend, build_hierarchical_lp)
+            ng = self.options.hierarchical_num_groups or _auto_groups(lp.N)
+            self._orig_link_dims = (lp.mEl, lp.mIl)
+            lp, self._hier_meta = build_hierarchical_lp(lp, ng)
+            fd = resolve_factor_dtype(self.options)
+            self._solver = IPMSolver(
+                partial(HierArrowBackend, meta=self._hier_meta,
+                        factor_dtype=fd), self.options)
         self.result = self._solver.solve(lp)
         self._postsolved = None
         return self.result.status
@@ -97,17 +126,27 @@ class PIPSIPMppTPUInterface:
         from pips_ipmpp_tpu.presolve.postsolve import Postsolver, Solution
         it = self.result.iterate
         x = self._unscale_x(it)
-        y = self._scaler.unscale_y(it.y) if self._scaler else it.y
-        z = self._scaler.unscale_z(it.z) if self._scaler else it.z
+
+        def parts(vec, which, factors):
+            # np.array (copy): postsolve mutates these in place
+            first = np.array(vec.first, np.float64)
+            blocks = np.array(vec.blocks, np.float64)
+            link = self._unpermute_link(np.array(vec.link, np.float64),
+                                        which)
+            if factors is not None:
+                first = first * np.asarray(factors.first)
+                blocks = blocks * np.asarray(factors.blocks)
+                link = link * np.asarray(factors.link)
+            return first, blocks, link
+
+        y0, yN, yl = parts(it.y, "E",
+                           self._scaler.rE if self._scaler else None)
+        z0, zN, zl = parts(it.z, "I",
+                           self._scaler.rC if self._scaler else None)
         sol = Solution(
             x0=np.array(x.first, np.float64),
             xN=np.array(x.blocks, np.float64),
-            y0=np.array(y.first, np.float64),
-            yN=np.array(y.blocks, np.float64),
-            yl=np.array(y.link, np.float64),
-            z0=np.array(z.first, np.float64),
-            zN=np.array(z.blocks, np.float64),
-            zl=np.array(z.link, np.float64))
+            y0=y0, yN=yN, yl=yl, z0=z0, zN=zN, zl=zl)
         self._postsolved = Postsolver(self.lp).postsolve(
             self._presolve_log.events, sol)
         return self._postsolved
@@ -151,19 +190,42 @@ class PIPSIPMppTPUInterface:
             return np.asarray(self.lp.A @ it.x)
         raise NotImplementedError
 
+    def _unpermute_link(self, vec: np.ndarray, which: str) -> np.ndarray:
+        """Map hierarchical-layout link vectors back to user row order."""
+        if self._hier_meta is None:
+            return vec
+        meta = self._hier_meta
+        perm = meta.permE if which == "E" else meta.permI
+        size = (self._orig_link_dims[0] if which == "E"
+                else self._orig_link_dims[1])
+        out = np.zeros(size, vec.dtype)
+        sel = perm >= 0
+        out[perm[sel]] = vec[np.nonzero(sel)[0]]
+        return out
+
+    def _gather_row_dual(self, vec, which: str, factors) -> np.ndarray:
+        """Unpermute (hier layout -> flat), then unscale, then flatten."""
+        first = np.asarray(vec.first, np.float64)
+        blocks = np.asarray(vec.blocks, np.float64)
+        link = self._unpermute_link(np.asarray(vec.link, np.float64), which)
+        if factors is not None:
+            first = first * np.asarray(factors.first)
+            blocks = blocks * np.asarray(factors.blocks)
+            link = link * np.asarray(factors.link)
+        return np.concatenate([first, blocks.reshape(-1), link])
+
     def gatherDualSolutionEq(self) -> np.ndarray:
         self._require_result()
         ps = self._postsolve()
         if ps is not None:
             return np.concatenate([ps.y0, ps.yN.reshape(-1), ps.yl])
         y = self.result.iterate.y
-        if self._scaler is not None:
-            y = self._scaler.unscale_y(y)
         if isinstance(self.lp, DenseLP):
+            if self._scaler is not None:
+                y = self._scaler.unscale_y(y)
             return np.asarray(y)
-        return np.concatenate([np.asarray(y.first),
-                               np.asarray(y.blocks).reshape(-1),
-                               np.asarray(y.link)])
+        rE = self._scaler.rE if self._scaler is not None else None
+        return self._gather_row_dual(y, "E", rE)
 
     def gatherDualSolutionIneq(self) -> np.ndarray:
         self._require_result()
@@ -171,10 +233,9 @@ class PIPSIPMppTPUInterface:
         if ps is not None:
             return np.concatenate([ps.z0, ps.zN.reshape(-1), ps.zl])
         z = self.result.iterate.z
-        if self._scaler is not None:
-            z = self._scaler.unscale_z(z)
         if isinstance(self.lp, DenseLP):
+            if self._scaler is not None:
+                z = self._scaler.unscale_z(z)
             return np.asarray(z)
-        return np.concatenate([np.asarray(z.first),
-                               np.asarray(z.blocks).reshape(-1),
-                               np.asarray(z.link)])
+        rC = self._scaler.rC if self._scaler is not None else None
+        return self._gather_row_dual(z, "I", rC)

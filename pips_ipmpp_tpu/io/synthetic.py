@@ -78,3 +78,80 @@ def random_arrowhead_lp(seed, N=4, n=6, mE=3, mI=4, n0=3, m0E=2, m0I=2,
         linking_ineq={"iclow": iclowl, "clow": clowl,
                       "icupp": icuppl, "cupp": cuppl},
         dtype=dtype)
+
+
+def random_hier_arrowhead_lp(seed, N=8, n_groups=2, n=5, mE=2, mI=3,
+                             n0=2, m0E=1, m0I=2, loc_eq=2, loc_iq=1,
+                             glob_eq=1, glob_iq=1, dtype=jnp.float64):
+    """Arrowhead LP with group-LOCAL linking-row structure (the reference's
+    2-link/k-link pattern, DistributedProblem::activateLinkStructure
+    Exploitation): each group of N/n_groups blocks owns `loc_eq`/`loc_iq`
+    linking rows supported only on its blocks, plus a few global rows.
+    Rows are interleaved (shuffled) to exercise locality detection."""
+    rng = np.random.default_rng(seed)
+    gs = N // n_groups
+    mEl = n_groups * loc_eq + glob_eq
+    mIl = n_groups * loc_iq + glob_iq
+
+    # owners: group id per row or -1 for global, then shuffle
+    ownE = np.concatenate([np.repeat(np.arange(n_groups), loc_eq),
+                           np.full(glob_eq, -1)])
+    ownI = np.concatenate([np.repeat(np.arange(n_groups), loc_iq),
+                           np.full(glob_iq, -1)])
+    rng.shuffle(ownE)
+    rng.shuffle(ownI)
+
+    base = random_arrowhead_lp(seed + 1, N=N, n=n, mE=mE, mI=mI, n0=n0,
+                               m0E=m0E, m0I=m0I, mEl=mEl, mIl=mIl,
+                               dtype=dtype)
+    # rebuild F/G with locality masks and consistent rhs/bounds
+    F = np.asarray(base.F).copy()
+    Gm = np.asarray(base.G).copy()
+    for r, g in enumerate(ownE):
+        if g >= 0:
+            mask = np.ones(N, bool)
+            mask[g * gs:(g + 1) * gs] = False
+            F[mask, r, :] = 0.0
+    for r, g in enumerate(ownI):
+        if g >= 0:
+            mask = np.ones(N, bool)
+            mask[g * gs:(g + 1) * gs] = False
+            Gm[mask, r, :] = 0.0
+
+    # recompute feasible rhs/bounds at an interior point
+    x0 = rng.normal(size=n0) * 0.3
+    xi = rng.normal(size=(N, n)) * 0.3
+    # block eqs must stay consistent: recompute bN as well
+    A = np.asarray(base.A)
+    B = np.asarray(base.B)
+    bN = np.einsum("imk,k->im", A, x0) + np.einsum("imn,in->im", B, xi)
+    b0 = np.asarray(base.A0) @ x0
+    bl = np.asarray(base.F0) @ x0 + np.einsum("iln,in->l", F, xi)
+    Cx0 = np.asarray(base.C0) @ x0
+    CxN = (np.einsum("imk,k->im", np.asarray(base.C), x0)
+           + np.einsum("imn,in->im", np.asarray(base.D), xi))
+    Gx = np.asarray(base.G0) @ x0 + np.einsum("iln,in->l", Gm, xi)
+
+    def box(v, width=1.0):
+        lo = v - width * (0.5 + rng.random(np.shape(v)))
+        up = v + width * (0.5 + rng.random(np.shape(v)))
+        return lo, up
+
+    cl0, cu0 = box(Cx0)
+    clN, cuN = box(CxN)
+    cll, cul = box(Gx)
+    xl0, xu0 = box(x0)
+    xlN, xuN = box(xi)
+
+    import dataclasses
+    arr = lambda v: jnp.asarray(v, dtype)
+    ones = lambda v: jnp.ones(np.shape(v), dtype)
+    return dataclasses.replace(
+        base,
+        F=arr(F), G=arr(Gm), b0=arr(b0), bN=arr(bN), bl=arr(bl),
+        iclow0=ones(cl0), clow0=arr(cl0), icupp0=ones(cu0), cupp0=arr(cu0),
+        iclowN=ones(clN), clowN=arr(clN), icuppN=ones(cuN), cuppN=arr(cuN),
+        iclowl=ones(cll), clowl=arr(cll), icuppl=ones(cul), cuppl=arr(cul),
+        ixlow0=ones(xl0), xlow0=arr(xl0), ixupp0=ones(xu0), xupp0=arr(xu0),
+        ixlowN=ones(xlN), xlowN=arr(xlN), ixuppN=ones(xuN), xuppN=arr(xuN),
+    )

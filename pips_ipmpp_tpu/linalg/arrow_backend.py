@@ -79,6 +79,67 @@ def _spd_solve(chol, b):
     return jax.scipy.linalg.solve_triangular(chol.T, u, lower=False)
 
 
+
+def preconditioned_bicgstab(b, precond, applyK, dot, max_iters, tol):
+    """Layout-generic preconditioned BiCGStab on K u = b.
+
+    `b` is any pytree; `precond(v)`/`applyK(v)` map pytree->pytree;
+    `dot(a, b)` is the (collective-aware) inner product.  Returns
+    (u, stats dict) with breakdown/divergence flags (the reference's
+    BiCGStabSolver stagnation/breakdown detection, BiCGStabSolver.h:14-39).
+    """
+    tadd = lambda s, t, c: jax.tree.map(lambda a, bb: a + c * bb, s, t)
+    tsub = lambda s, t, c: jax.tree.map(lambda a, bb: a - c * bb, s, t)
+
+    bnorm = jnp.sqrt(jnp.maximum(dot(b, b), 1e-300))
+    u0 = precond(b)
+    r0 = jax.tree.map(lambda x, y: x - y, b, applyK(u0))
+    rhat = r0
+    rho0 = dot(rhat, r0)
+    rnorm0 = jnp.sqrt(jnp.maximum(dot(r0, r0), 0.0))
+
+    def cond(carry):
+        u, r, p, v, rho, alpha, omega, k, rnorm, flag = carry
+        return (k < max_iters) & (rnorm > tol * bnorm) & (flag == 0)
+
+    def body(carry):
+        u, r, p, v, rho_prev, alpha, omega, k, rnorm, flag = carry
+        rho = dot(rhat, r)
+        breakdown = jnp.abs(rho) < 1e-300
+        beta = (rho / jnp.where(breakdown, 1.0, rho_prev)) \
+            * (alpha / jnp.where(jnp.abs(omega) < 1e-300, 1.0, omega))
+        p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv),
+                         r, p, v)
+        ph = precond(p)
+        v2 = applyK(ph)
+        denom = dot(rhat, v2)
+        alpha2 = rho / jnp.where(jnp.abs(denom) < 1e-300, 1.0, denom)
+        s = tsub(r, v2, alpha2)
+        sh = precond(s)
+        t = applyK(sh)
+        tt = dot(t, t)
+        omega2 = dot(t, s) / jnp.maximum(tt, 1e-300)
+        u2 = tadd(tadd(u, ph, alpha2), sh, omega2)
+        r2 = tsub(s, t, omega2)
+        rnorm2 = jnp.sqrt(jnp.maximum(dot(r2, r2), 0.0))
+        flag2 = jnp.where(breakdown | (jnp.abs(denom) < 1e-300),
+                          jnp.asarray(1, jnp.int32),
+                          jnp.where(rnorm2 > 1e4 * rnorm0,
+                                    jnp.asarray(2, jnp.int32),
+                                    jnp.asarray(0, jnp.int32)))
+        return (u2, r2, p, v2, rho, alpha2, omega2, k + 1, rnorm2, flag2)
+
+    zerov = jax.tree.map(jnp.zeros_like, b)
+    carry0 = (u0, r0, zerov, zerov, rho0,
+              jnp.ones((), bnorm.dtype), jnp.ones((), bnorm.dtype),
+              jnp.zeros((), jnp.int32), rnorm0, jnp.zeros((), jnp.int32))
+    u, r, _, _, _, _, _, k, rnorm, flag = jax.lax.while_loop(
+        cond, body, carry0)
+    stats = dict(iterations=k, relres=rnorm / bnorm,
+                 converged=(rnorm <= tol * bnorm), flag=flag)
+    return u, stats
+
+
 class ArrowBackend:
     """Backend over an ArrowheadLP. `axis` names the mesh axis when running
     inside shard_map (block batch sharded; first-stage/link replicated)."""
@@ -431,75 +492,23 @@ class ArrowBackend:
         mE = lp.mE
 
         b = (-rhs.rhat_x.first,
+             -rhs.rhat_x.blocks,
              jnp.concatenate([-rhs.rA.first, -rhs.rhat_z.first,
                               -rhs.rA.link, -rhs.rhat_z.link]),
-             -rhs.rhat_x.blocks,
              jnp.concatenate([-rhs.rA.blocks, -rhs.rhat_z.blocks], axis=1))
-        # state layout used by _solve_core/_apply_K: (x0, xb, d0, gm)
-        b = (b[0], b[2], b[1], b[3])
 
         def precond(v):
             x0, xb, d0, gm = v
             return self._solve_core(fac, x0, d0, xb, gm)
 
-        tadd = lambda s, t, c: jax.tree.map(lambda a, bb: a + c * bb, s, t)
-        tsub = lambda s, t, c: jax.tree.map(lambda a, bb: a - c * bb, s, t)
-
-        bnorm = jnp.sqrt(jnp.maximum(self._state_dot(b, b), 1e-300))
-
-        u0 = precond(b)                     # start from the direct solution
-        r0 = jax.tree.map(lambda x, y: x - y, b, self._apply_K(fac, u0))
-        rhat = r0
-        rho0 = self._state_dot(rhat, r0)
-        rnorm0 = jnp.sqrt(jnp.maximum(self._state_dot(r0, r0), 0.0))
-
-        def cond(carry):
-            u, r, p, v, rho, alpha, omega, k, rnorm, flag = carry
-            return ((k < max_iters) & (rnorm > tol * bnorm)
-                    & (flag == 0))
-
-        def body(carry):
-            u, r, p, v, rho_prev, alpha, omega, k, rnorm, flag = carry
-            rho = self._state_dot(rhat, r)
-            breakdown = jnp.abs(rho) < 1e-300
-            beta = (rho / jnp.where(breakdown, 1.0, rho_prev)) \
-                * (alpha / jnp.where(jnp.abs(omega) < 1e-300, 1.0, omega))
-            p = jax.tree.map(lambda rr, pp, vv: rr + beta * (pp - omega * vv),
-                             r, p, v)
-            ph = precond(p)
-            v2 = self._apply_K(fac, ph)
-            denom = self._state_dot(rhat, v2)
-            alpha2 = rho / jnp.where(jnp.abs(denom) < 1e-300, 1.0, denom)
-            s = tsub(r, v2, alpha2)
-            sh = precond(s)
-            t = self._apply_K(fac, sh)
-            tt = self._state_dot(t, t)
-            omega2 = self._state_dot(t, s) / jnp.maximum(tt, 1e-300)
-            u2 = tadd(tadd(u, ph, alpha2), sh, omega2)
-            r2 = tsub(s, t, omega2)
-            rnorm2 = jnp.sqrt(jnp.maximum(self._state_dot(r2, r2), 0.0))
-            # divergence/breakdown detection (reference BiCGStabSolver)
-            flag2 = jnp.where(breakdown | (jnp.abs(denom) < 1e-300),
-                              jnp.asarray(1, jnp.int32),
-                              jnp.where(rnorm2 > 1e4 * rnorm0,
-                                        jnp.asarray(2, jnp.int32),
-                                        jnp.asarray(0, jnp.int32)))
-            return (u2, r2, p, v2, rho, alpha2, omega2, k + 1, rnorm2, flag2)
-
-        zerov = jax.tree.map(jnp.zeros_like, b)
-        carry0 = (u0, r0, zerov, zerov, rho0,
-                  jnp.ones((), bnorm.dtype), jnp.ones((), bnorm.dtype),
-                  jnp.zeros((), jnp.int32), rnorm0,
-                  jnp.zeros((), jnp.int32))
-        u, r, _, _, _, _, _, k, rnorm, flag = jax.lax.while_loop(
-            cond, body, carry0)
+        u, stats = preconditioned_bicgstab(
+            b, precond, lambda v: self._apply_K(fac, v), self._state_dot,
+            max_iters, tol)
 
         dx_first, dx_blocks, d0, gm = u
         yhat = RVec(d0[:m0E], gm[:, :mE], d0[m0E + m0I:m0E + m0I + mEl])
         zhat = RVec(d0[m0E:m0E + m0I], gm[:, mE:], d0[m0E + m0I + mEl:])
         dx = XVec(dx_first, dx_blocks)
-        stats = dict(iterations=k, relres=rnorm / bnorm,
-                     converged=(rnorm <= tol * bnorm), flag=flag)
         return dx, jax.tree.map(lambda v_: -v_, yhat), \
             jax.tree.map(lambda v_: -v_, zhat), stats
 

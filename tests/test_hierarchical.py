@@ -1,0 +1,111 @@
+"""Hierarchical two-level Schur tests: locality analysis, layout transform
+equivalence, Newton-oracle accuracy of the three-level solve, and
+end-to-end IPM equality with the flat backend."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pips_ipmpp_tpu.core.options import Options
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.ipm import formulation as F
+from pips_ipmpp_tpu.ipm.solver import IPMSolver
+from pips_ipmpp_tpu.io.synthetic import random_hier_arrowhead_lp
+from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.hier_backend import (HierArrowBackend,
+                                                analyze_link_locality,
+                                                build_hierarchical_lp)
+
+from tests.helpers import interior_iterate, max_newton_error, newton_residuals
+
+
+def test_locality_analysis():
+    F_ = np.zeros((4, 3, 2))
+    F_[0, 0, 0] = 1.0              # row 0: block 0 only -> group 0
+    F_[2, 1, 1] = 1.0
+    F_[3, 1, 0] = 2.0              # row 1: blocks 2,3 -> group 1
+    F_[0, 2, 0] = 1.0
+    F_[3, 2, 1] = 1.0              # row 2: blocks 0 and 3 -> global
+    owner = analyze_link_locality(F_, 2)
+    np.testing.assert_array_equal(owner, [0, 1, -1])
+
+
+def test_layout_transform_preserves_solution():
+    lp = random_hier_arrowhead_lp(0, N=8, n_groups=2)
+    hlp, meta = build_hierarchical_lp(lp, 2)
+    assert meta.mElG >= 1
+    r_flat = IPMSolver(ArrowBackend, Options()).solve(lp)
+    r_perm = IPMSolver(ArrowBackend, Options()).solve(hlp)
+    assert r_perm.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r_perm.objective - r_flat.objective) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hier_solve_matches_newton_oracle(seed):
+    lp = random_hier_arrowhead_lp(seed, N=6, n_groups=3, n=4, mE=2, mI=2,
+                                  loc_eq=1, loc_iq=1, glob_eq=1, glob_iq=1)
+    hlp, meta = build_hierarchical_lp(lp, 3)
+    be = HierArrowBackend(hlp, meta)
+    it = interior_iterate(be, jax.random.PRNGKey(seed + 11))
+
+    res = F.compute_residuals(be, it)
+    Dx, Ominv = F.kkt_diagonals(be, it)
+    fac = be.factorize(Dx, Ominv, 0.0, 0.0)
+    assert bool(be.factorization_ok(fac))
+    comp = F.comp_rhs_affine(be, it)
+    rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
+    dx, dy, dz = be.solve_reduced(fac, rhs, refinement_steps=2)
+    d = F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
+    errs = max_newton_error(newton_residuals(be, it, d, res, comp))
+    for name, err in errs.items():
+        assert err < 1e-8, f"{name}: {err} (all {errs})"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hier_ipm_matches_flat(seed):
+    lp = random_hier_arrowhead_lp(seed, N=8, n_groups=4)
+    hlp, meta = build_hierarchical_lp(lp, 4)
+    r_flat = IPMSolver(ArrowBackend, Options()).solve(lp)
+    r_hier = IPMSolver(partial(HierArrowBackend, meta=meta),
+                       Options()).solve(hlp)
+    assert r_flat.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_hier.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
+        f"hier: mu={r_hier.mu} resid={r_hier.residual_norm}"
+    assert abs(r_hier.objective - r_flat.objective) < 1e-6 * max(
+        1.0, abs(r_flat.objective))
+
+
+def test_hier_cache_is_smaller():
+    """The whole point: cached border solves shrink when links are local."""
+    lp = random_hier_arrowhead_lp(3, N=8, n_groups=4, loc_eq=4, loc_iq=4,
+                                  glob_eq=1, glob_iq=1)
+    hlp, meta = build_hierarchical_lp(lp, 4)
+    be_f = ArrowBackend(hlp)
+    be_h = HierArrowBackend(hlp, meta)
+    it = interior_iterate(be_h, jax.random.PRNGKey(0))
+    Dx, Ominv = F.kkt_diagonals(be_h, it)
+    fac_f = be_f.factorize(Dx, Ominv, 1e-10, 1e-10)
+    fac_h = be_h.factorize(Dx, Ominv, 1e-10, 1e-10)
+    flat_cache = fac_f.Ux.size + fac_f.Um.size
+    hier_cache = fac_h.WoutB.size + fac_h.WoutL.size + fac_h.Win.size
+    assert hier_cache < flat_cache
+
+
+def test_interface_hierarchical():
+    from pips_ipmpp_tpu.core.options import ScalerType
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    lp = random_hier_arrowhead_lp(7, N=8, n_groups=2)
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(
+        lp, Options(hierarchical=True, scaler=ScalerType.GEOMETRIC_MEAN))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-5
+    # dual gathers come back in ORIGINAL (unpermuted) link order and match
+    y_b = base.gatherDualSolutionEq()
+    y_h = iface.gatherDualSolutionEq()
+    assert y_b.shape == y_h.shape
+    np.testing.assert_allclose(y_h, y_b, atol=2e-4)
