@@ -39,7 +39,7 @@ def main():
     dtype = jnp.float32   # production TPU precision (true-f32 matmuls are
     # forced by the solver; converges to the reference tolerances)
     lp = random_arrowhead_lp(0, dtype=dtype, **SHAPE)
-    lp = make_scaler(ScalerType.GEOMETRIC_MEAN).scale(lp)
+    lp = make_scaler(ScalerType.EQUILIBRIUM).scale(lp)
     opts = Options(refinement_steps=4, max_gondzio_correctors=2)
     solver = IPMSolver(partial(ArrowBackend, factor_dtype=dtype), opts)
 

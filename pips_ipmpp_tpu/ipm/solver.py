@@ -33,6 +33,27 @@ from pips_ipmpp_tpu.ipm import formulation as F
 from pips_ipmpp_tpu.ipm.mehrotra import ipm_step
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: fused-loop compiles are tens of
+    seconds on TPU; cache them across processes."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+    try:
+        cache_dir = os.environ.get("PIPS_TPU_COMPILE_CACHE",
+                                   os.path.expanduser("~/.cache/pips_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 @dataclass
 class IterationInfo:
     iteration: int
@@ -80,6 +101,13 @@ def _init_fn(be_ctor, opts, lp):
     Dx, Ominv = F.kkt_diagonals(be, it)
     fac = be.factorize(Dx, Ominv, opts.primal_regularization,
                        opts.dual_regularization)
+    # the init point is a heuristic: if the f32 factorization fails at base
+    # regularization (borderline-definite root Schur), redo it heavily
+    # regularized rather than poisoning the iterate with NaN
+    ok = be.factorization_ok(fac)
+    big = 1e-6 * (1.0 + datanorm)
+    fac = jax.lax.cond(ok, lambda: fac,
+                       lambda: be.factorize(Dx, Ominv, big, big))
     comp = F.comp_rhs_affine(be, it)
     rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
     dx, dy, dz = be.solve_reduced(fac, rhs, opts.refinement_steps)
@@ -102,6 +130,7 @@ class IPMSolver:
         # factorization accuracy the IPM needs (observed: stall at mu~1e-3).
         # Force true-f32 (3-pass) matmuls; no-op for f64/CPU.
         jax.config.update("jax_default_matmul_precision", "highest")
+        _enable_compilation_cache()
         self.be_ctor = be_ctor
         self.opts = opts or Options()
         self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))

@@ -52,13 +52,16 @@ from pips_ipmpp_tpu.ipm.formulation import Bounds, ReducedRhs
 @dataclass
 class ArrowFactors:
     L: jax.Array        # [N, mE+mI, mE+mI] batched Cholesky of Neq_i
+    Ninv: jax.Array     # [N, a, a] explicit Neq^{-1} (MXU solve path) or ()
     Einv: jax.Array     # [N, n]
     Om: jax.Array       # [N, mI]
     Ux: jax.Array       # [N, n, nS]      K^{-1}R rows x
     Um: jax.Array       # [N, mE+mI, nS]  K^{-1}R rows (y,z)
     chol1: jax.Array    # [n0, n0] Cholesky of S11 (x0 block)
+    S11inv: jax.Array   # [n0, n0] explicit inverse or ()
     T: jax.Array        # [n0, nD] S11^{-1} S12
     chol2: jax.Array    # [nD, nD] Cholesky of -(S22 - S12'T) (dual Schur)
+    Sdinv: jax.Array    # [nD, nD] explicit inverse or ()
     Einv0: jax.Array    # [n0]
     Om0: jax.Array      # [m0I]
     Oml: jax.Array      # [mIl]
@@ -145,10 +148,18 @@ class ArrowBackend:
     inside shard_map (block batch sharded; first-stage/link replicated)."""
 
     def __init__(self, lp: ArrowheadLP, factor_dtype=jnp.float64,
-                 axis: Optional[str] = None):
+                 axis: Optional[str] = None,
+                 explicit_inverse: Optional[bool] = None):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
+        # single-RHS triangular solves serialize on the MXU; with f32
+        # factors (TPU production path) apply explicit inverses instead —
+        # one extra multi-RHS solve at factorize time buys matvec-only
+        # back-substitutions (refinement absorbs the inverse round-off)
+        if explicit_inverse is None:
+            explicit_inverse = (jnp.dtype(factor_dtype) == jnp.float32)
+        self.explicit_inverse = explicit_inverse
         self.bounds = Bounds(
             c=XVec(lp.c0, lp.cN),
             b=RVec(lp.b0, lp.bN, lp.bl),
@@ -238,6 +249,12 @@ class ArrowBackend:
         Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
                + jax.vmap(jnp.diag)(Fd.astype(fd)))
         L = jnp.linalg.cholesky(Neq)                           # [N, mE+mI, .]
+        if self.explicit_inverse:
+            eye_a = jnp.broadcast_to(jnp.eye(mE + mI, dtype=fd),
+                                     (lp.N, mE + mI, mE + mI))
+            Ninv = _bchol_solve(L, eye_a)
+        else:
+            Ninv = jnp.zeros((), fd)
 
         # ---- border solves U = K^{-1} R (structure-exploiting) ----
         # E^{-1} R_x = [0 | Einv*F' | Einv*G']
@@ -254,7 +271,8 @@ class ArrowBackend:
         Mf = M.astype(fd)
         EiRxf = EiRx.astype(fd)
         rhsU = jnp.einsum("iam,imS->iaS", Mf, EiRxf) - Rm.astype(fd)
-        Um = _bchol_solve(L, rhsU)
+        Um = (jnp.einsum("iab,ibS->iaS", Ninv, rhsU)
+              if self.explicit_inverse else _bchol_solve(L, rhsU))
         Ux = EiRxf - Einv.astype(fd)[:, :, None] * jnp.einsum(
             "iam,iaS->imS", Mf, Um)
 
@@ -320,9 +338,16 @@ class ArrowBackend:
         T = _spd_solve(chol1, S12.astype(fd))
         Sdual = -(S22.astype(fd) - S12.astype(fd).T @ T)
         chol2 = jnp.linalg.cholesky(Sdual)
+        if self.explicit_inverse:
+            S11inv = _spd_solve(chol1, jnp.eye(n0, dtype=fd))
+            Sdinv = _spd_solve(chol2, jnp.eye(chol2.shape[0], dtype=fd))
+        else:
+            S11inv = jnp.zeros((), fd)
+            Sdinv = jnp.zeros((), fd)
 
-        return ArrowFactors(L=L, Einv=Einv, Om=Om, Ux=Ux, Um=Um,
-                            chol1=chol1, T=T.astype(dt), chol2=chol2,
+        return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux, Um=Um,
+                            chol1=chol1, S11inv=S11inv, T=T.astype(dt),
+                            chol2=chol2, Sdinv=Sdinv,
                             Einv0=Einv0, Om0=Om0, Oml=Oml,
                             delta_p=jnp.asarray(delta_p),
                             delta_d=jnp.asarray(delta_d))
@@ -330,6 +355,10 @@ class ArrowBackend:
     def factorization_ok(self, fac: ArrowFactors) -> jax.Array:
         ok = (jnp.all(jnp.isfinite(fac.L)) & jnp.all(jnp.isfinite(fac.chol1))
               & jnp.all(jnp.isfinite(fac.chol2)))
+        if self.explicit_inverse:
+            ok = (ok & jnp.all(jnp.isfinite(fac.Ninv))
+                  & jnp.all(jnp.isfinite(fac.S11inv))
+                  & jnp.all(jnp.isfinite(fac.Sdinv)))
         if self.axis is not None:
             ok = jax.lax.pmin(ok.astype(jnp.int32), self.axis) > 0
         return ok
@@ -341,7 +370,10 @@ class ArrowBackend:
         fd = self.factor_dtype
         M = jnp.concatenate([lp.B, lp.D], axis=1)
         t = jnp.einsum("iam,im->ia", M, fac.Einv * rho_x) - rho_m
-        gm = _bchol_solve(fac.L, t[..., None].astype(fd))[..., 0]
+        if self.explicit_inverse:
+            gm = jnp.einsum("iab,ib->ia", fac.Ninv, t.astype(fd))
+        else:
+            gm = _bchol_solve(fac.L, t[..., None].astype(fd))[..., 0]
         gm = gm.astype(rho_x.dtype)
         gx = fac.Einv * (rho_x - jnp.einsum("iam,ia->im", M, gm))
         return gx, gm
@@ -351,8 +383,12 @@ class ArrowBackend:
         fd = self.factor_dtype
         dt = p.dtype
         q2 = (q - fac.T.T @ p).astype(fd)
-        d = -_spd_solve(fac.chol2, q2).astype(dt)   # Sdual = -(S22 - ...)
-        a = _spd_solve(fac.chol1, p.astype(fd)).astype(dt) - fac.T @ d
+        if self.explicit_inverse:
+            d = -(fac.Sdinv @ q2).astype(dt)
+            a = (fac.S11inv @ p.astype(fd)).astype(dt) - fac.T @ d
+        else:
+            d = -_spd_solve(fac.chol2, q2).astype(dt)  # Sdual = -(S22 - ..)
+            a = _spd_solve(fac.chol1, p.astype(fd)).astype(dt) - fac.T @ d
         return a, d
 
     def solve_reduced(self, fac: ArrowFactors, rhs: ReducedRhs,

@@ -110,6 +110,9 @@ def model_cleanup(pd: PresolveData) -> int:
 def _drop_tiny(M) -> int:
     if M.size == 0:
         return 0
+    from pips_ipmpp_tpu import native
+    if M.dtype == np.float64 and M.flags.c_contiguous:
+        return native.drop_tiny_entries(M, TINY_ABS, TINY_REL)
     rowmax = np.max(np.abs(M), axis=-1, keepdims=True)
     mask = (np.abs(M) > 0) & ((np.abs(M) < TINY_ABS)
                               | (np.abs(M) < TINY_REL * rowmax))

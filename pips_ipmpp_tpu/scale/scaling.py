@@ -52,6 +52,12 @@ def _mm(a):  # abs
     return jnp.abs(a)
 
 
+_MIN_REL_FLOOR = 1e-8   # entries below this fraction of the row/col max are
+# ignored by the min statistic: incidentally tiny coefficients must not
+# drive geometric factors to extremes (the reference's scalers likewise
+# work on meaningful magnitudes only)
+
+
 def _rstat(S, op):
     """Row reduce of a scaled abs matrix; op in (max, min-over-nonzeros)."""
     if S.shape[-1] == 0:
@@ -59,7 +65,8 @@ def _rstat(S, op):
         return jnp.full(S.shape[:-1], fill, S.dtype)
     if op == "max":
         return jnp.max(S, axis=-1)
-    return jnp.min(jnp.where(S > 0, S, _INF), axis=-1)
+    floor = _MIN_REL_FLOOR * jnp.max(S, axis=-1, keepdims=True)
+    return jnp.min(jnp.where(S > floor, S, _INF), axis=-1)
 
 
 def _cstat(S, op):
@@ -68,7 +75,8 @@ def _cstat(S, op):
         return jnp.full(S.shape[:-2] + S.shape[-1:], fill, S.dtype)
     if op == "max":
         return jnp.max(S, axis=-2)
-    return jnp.min(jnp.where(S > 0, S, _INF), axis=-2)
+    floor = _MIN_REL_FLOOR * jnp.max(S, axis=-2, keepdims=True)
+    return jnp.min(jnp.where(S > floor, S, _INF), axis=-2)
 
 
 class _DenseView:

@@ -52,3 +52,32 @@ def test_resolve_factor_dtype():
     assert resolve_factor_dtype(Options(factor_dtype="float64")) == jnp.float64
     # auto on CPU tests with x64 -> f64
     assert resolve_factor_dtype(Options()) == jnp.float64
+
+
+def test_explicit_inverse_path():
+    """Explicit-inverse solve path (TPU production) must match the
+    triangular path to refinement accuracy."""
+    from tests.helpers import (interior_iterate, max_newton_error,
+                               newton_residuals)
+    from pips_ipmpp_tpu.ipm import formulation as F
+    lp = random_arrowhead_lp(4, N=4)
+    be_tri = ArrowBackend(lp, explicit_inverse=False)
+    be_inv = ArrowBackend(lp, explicit_inverse=True)
+    it = interior_iterate(be_tri, jax.random.PRNGKey(2))
+    res = F.compute_residuals(be_tri, it)
+    Dx, Om = F.kkt_diagonals(be_tri, it)
+    for be in (be_tri, be_inv):
+        fac = be.factorize(Dx, Om, 0.0, 0.0)
+        comp = F.comp_rhs_affine(be, it)
+        rhs = F.assemble_reduced_rhs(be, it, res, comp, Om)
+        dx, dy, dz = be.solve_reduced(fac, rhs, refinement_steps=2)
+        d = F.recover_step(be, it, res, comp, Om, rhs, dx, dy, dz)
+        errs = max_newton_error(newton_residuals(be, it, d, res, comp))
+        assert max(errs.values()) < 1e-8, (be.explicit_inverse, errs)
+
+    r1 = IPMSolver(partial(ArrowBackend, explicit_inverse=True),
+                   Options()).solve(lp)
+    r2 = IPMSolver(partial(ArrowBackend, explicit_inverse=False),
+                   Options()).solve(lp)
+    assert r1.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r1.objective - r2.objective) < 1e-7
