@@ -149,7 +149,8 @@ class ArrowBackend:
 
     def __init__(self, lp: ArrowheadLP, factor_dtype=jnp.float64,
                  axis: Optional[str] = None,
-                 explicit_inverse: Optional[bool] = None):
+                 explicit_inverse: Optional[bool] = None,
+                 pallas_chol: bool = False):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -160,6 +161,7 @@ class ArrowBackend:
         if explicit_inverse is None:
             explicit_inverse = (jnp.dtype(factor_dtype) == jnp.float32)
         self.explicit_inverse = explicit_inverse
+        self.pallas_chol = pallas_chol
         self.bounds = Bounds(
             c=XVec(lp.c0, lp.cN),
             b=RVec(lp.b0, lp.bN, lp.bl),
@@ -248,7 +250,12 @@ class ArrowBackend:
         MEi = M * Einv[:, None, :]
         Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
                + jax.vmap(jnp.diag)(Fd.astype(fd)))
-        L = jnp.linalg.cholesky(Neq)                           # [N, mE+mI, .]
+        if self.pallas_chol and Neq.dtype == jnp.float32 \
+                and Neq.shape[-1] % 64 == 0:
+            from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
+            L = batched_cholesky(Neq)
+        else:
+            L = jnp.linalg.cholesky(Neq)                       # [N, a, a]
         if self.explicit_inverse:
             eye_a = jnp.broadcast_to(jnp.eye(mE + mI, dtype=fd),
                                      (lp.N, mE + mI, mE + mI))
@@ -349,8 +356,8 @@ class ArrowBackend:
                             chol1=chol1, S11inv=S11inv, T=T.astype(dt),
                             chol2=chol2, Sdinv=Sdinv,
                             Einv0=Einv0, Om0=Om0, Oml=Oml,
-                            delta_p=jnp.asarray(delta_p),
-                            delta_d=jnp.asarray(delta_d))
+                            delta_p=jnp.asarray(delta_p, Einv.dtype),
+                            delta_d=jnp.asarray(delta_d, Einv.dtype))
 
     def factorization_ok(self, fac: ArrowFactors) -> jax.Array:
         ok = (jnp.all(jnp.isfinite(fac.L)) & jnp.all(jnp.isfinite(fac.chol1))

@@ -89,8 +89,8 @@ class DenseBackend:
         N = (Mf * Einv.astype(fd)[None, :]) @ Mf.T + jnp.diag(Fd.astype(fd))
         chol = jnp.linalg.cholesky(N)
         return DenseFactors(chol=chol, Einv=Einv, Om=Om,
-                            delta_p=jnp.asarray(delta_p),
-                            delta_d=jnp.asarray(delta_d))
+                            delta_p=jnp.asarray(delta_p, E.dtype),
+                            delta_d=jnp.asarray(delta_d, E.dtype))
 
     def factorization_ok(self, fac: DenseFactors) -> jax.Array:
         return jnp.all(jnp.isfinite(fac.chol))

@@ -340,7 +340,7 @@ class HierArrowBackend(ArrowBackend):
             WoutL=WoutL.astype(dt),
             chol1=chol1, T=T.astype(dt), chol2=chol2,
             Einv0=Einv0, Om0=Om0, OmlG=OmlG, OmlL=OmlL,
-            delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d))
+            delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d, dt))
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
         return (jnp.all(jnp.isfinite(fac.L))
