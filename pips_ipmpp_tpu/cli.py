@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
 
     opts = Options(print_level=10)
+    if argv[0] == "--check":
+        # block-file consistency check (the reference's gmspipschk)
+        return check_blocks(argv[1], int(argv[2]) if len(argv) > 2 else None)
     if argv[0] == "--mps":
         from pips_ipmpp_tpu.io.mps import read_mps
         lp = read_mps(argv[1])
@@ -94,6 +97,86 @@ def main(argv=None) -> int:
         print(f"solution written to {stem}_solution.npz")
 
     return 0 if status == TerminationStatus.SUCCESSFUL_TERMINATION else 1
+
+
+def check_blocks(stem: str, n_blocks=None) -> int:
+    """Validate block files for structural consistency (the role of the
+    reference's gmspipschk executable): dimension agreement across blocks,
+    0/1 indicator masks, ordered bounds, finite data."""
+    import numpy as np
+
+    problems = []
+
+    def err(msg):
+        problems.append(msg)
+
+    try:
+        meta = np.load(f"{stem}_meta.npz")
+    except FileNotFoundError:
+        print(f"error: {stem}_meta.npz not found", file=sys.stderr)
+        return 2
+    N = int(meta["N"]) if n_blocks is None else n_blocks - 1
+    mEl = meta["bl"].shape[0]
+    mIl = meta["clowl"].shape[0]
+
+    b0 = np.load(f"{stem}_block0.npz")
+    n0 = b0["c"].shape[0]
+    if b0["A"].shape[1] != n0:
+        err(f"block0: A has {b0['A'].shape[1]} cols, expected n0={n0}")
+    if b0["F0"].shape != (mEl, n0):
+        err(f"block0: F0 shape {b0['F0'].shape} != ({mEl}, {n0})")
+
+    def check_masks(name, tag, f):
+        m = np.asarray(f)
+        if not np.all((m == 0) | (m == 1)):
+            err(f"{tag}: indicator {name} has non-0/1 entries")
+
+    def check_bounds(tag, f):
+        il, lo = np.asarray(f["iclow"]), np.asarray(f["clow"])
+        iu, up = np.asarray(f["icupp"]), np.asarray(f["cupp"])
+        bad = (il > 0) & (iu > 0) & (lo > up)
+        if np.any(bad):
+            err(f"{tag}: clow > cupp on {int(bad.sum())} rows")
+        xl, xlo = np.asarray(f["ixlow"]), np.asarray(f["xlow"])
+        xu, xup = np.asarray(f["ixupp"]), np.asarray(f["xupp"])
+        badx = (xl > 0) & (xu > 0) & (xlo > xup)
+        if np.any(badx):
+            err(f"{tag}: xlow > xupp on {int(badx.sum())} vars")
+
+    for name in ("iclow", "icupp", "ixlow", "ixupp"):
+        check_masks(name, "block0", b0[name])
+    check_bounds("block0", b0)
+
+    for i in range(1, N + 1):
+        try:
+            bf = np.load(f"{stem}_block{i}.npz")
+        except FileNotFoundError:
+            err(f"block{i}: file missing")
+            continue
+        ni = bf["c"].shape[0]
+        tag = f"block{i}"
+        if bf["A"].shape[1] != n0:
+            err(f"{tag}: border A cols {bf['A'].shape[1]} != n0 {n0}")
+        if bf["B"].shape != (bf["A"].shape[0], ni):
+            err(f"{tag}: B shape {bf['B'].shape} inconsistent")
+        if bf["F"].shape != (mEl, ni):
+            err(f"{tag}: F shape {bf['F'].shape} != ({mEl}, {ni})")
+        if bf["G"].shape != (mIl, ni):
+            err(f"{tag}: G shape {bf['G'].shape} != ({mIl}, {ni})")
+        for name in ("iclow", "icupp", "ixlow", "ixupp"):
+            check_masks(name, tag, bf[name])
+        check_bounds(tag, bf)
+        for key in ("c", "A", "B", "b", "C", "D"):
+            if not np.all(np.isfinite(bf[key])):
+                err(f"{tag}: non-finite entries in {key}")
+
+    if problems:
+        for p in problems:
+            print(f"CHECK FAILED: {p}")
+        return 1
+    print(f"OK: {stem} with {N} blocks is consistent "
+          f"(n0={n0}, mEl={mEl}, mIl={mIl})")
+    return 0
 
 
 if __name__ == "__main__":

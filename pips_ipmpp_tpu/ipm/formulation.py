@@ -335,6 +335,54 @@ def step_bounds_pd(be, it: Iterate, d: Iterate):
     return a_p, a_d
 
 
+def _masked_max(tree, axis):
+    """Global max over leaves (pairs with -inf padding)."""
+    leaves = jax.tree.leaves(tree, is_leaf=lambda x: False)
+    neg = jax.tree.map(lambda v: -v, tree)
+    return -spaces.min_reduce(neg, axis)
+
+
+def blocking_pair_info(be, it: Iterate, d: Iterate, a_max, primal: bool):
+    """Blocking-pair data for Mehrotra's step-length heuristic (reference
+    find_blocking / find_blocking_pd, the distributed minloc reduction,
+    DistributedVector.C:702-726): among pairs that block at `a_max`, return
+    (val_b, dval_b, partner_after) where partner_after is the OTHER side of
+    the pair evaluated at a_max.  Implemented value-based (no argmin
+    gather): blocking entries are those whose ratio equals a_max within
+    tolerance; ties resolved by the largest partner (conservative)."""
+    bd = be.bounds
+    pairs = [
+        (bd.ixlow, it.v, d.v, it.gamma, d.gamma),
+        (bd.ixupp, it.w, d.w, it.phi, d.phi),
+        (bd.iclow, it.t, d.t, it.lam, d.lam),
+        (bd.icupp, it.u, d.u, it.pi, d.pi),
+    ]
+    if not primal:
+        pairs = [(m, dual, ddual, val, dval)
+                 for (m, val, dval, dual, ddual) in pairs]
+
+    sel_val, sel_partner = [], []
+    for (m, val, dval, par, dpar) in pairs:
+        def mk_val(mm, a, da):
+            ratio = jnp.where((mm > 0) & (da < 0),
+                              -a / jnp.where(da < 0, da, -1.0), jnp.inf)
+            is_block = ratio <= a_max * (1.0 + 1e-6) + 1e-12
+            return jnp.where(is_block, a, -jnp.inf)
+
+        def mk_par(mm, a, da, p, dp):
+            ratio = jnp.where((mm > 0) & (da < 0),
+                              -a / jnp.where(da < 0, da, -1.0), jnp.inf)
+            is_block = ratio <= a_max * (1.0 + 1e-6) + 1e-12
+            return jnp.where(is_block, p + a_max * dp, -jnp.inf)
+
+        sel_val.append(tmap(mk_val, m, val, dval))
+        sel_partner.append(tmap(mk_par, m, val, dval, par, dpar))
+    ax = be.axis
+    # at any blocking index, val = -a_max * dval exactly, so (val_b, a_max)
+    # determine dval_b; partner picked conservatively (largest)
+    return _masked_max(sel_val, ax), _masked_max(sel_partner, ax)
+
+
 def step_bound_single(be, it: Iterate, d: Iterate):
     """One common step length (PRIMAL step mode)."""
     a_p, a_d = step_bounds_pd(be, it, d)

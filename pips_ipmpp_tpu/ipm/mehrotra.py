@@ -33,16 +33,21 @@ class StepStats:
     factor_ok: Any
 
 
-def _solve_dir(be, it, res, comp, Ominv, fac, opts: Options):
+def _solve_dir(be, it, res, comp, Ominv, fac, opts: Options,
+               want_stats: bool = False):
     rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
+    stats = None
     if opts.outer_bicgstab and hasattr(be, "solve_reduced_bicgstab"):
         # OUTER_SOLVE=2: BiCGStab on the full structured KKT, direct solve
         # as preconditioner (reference gmspips.cpp:79 forces this mode)
-        dx, dy, dz, _stats = be.solve_reduced_bicgstab(
+        dx, dy, dz, stats = be.solve_reduced_bicgstab(
             fac, rhs, max_iters=opts.outer_max_iters)
     else:
         dx, dy, dz = be.solve_reduced(fac, rhs, opts.refinement_steps)
-    return F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
+    d = F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
+    if want_stats:
+        return d, stats
+    return d
 
 
 def _alphas(be, it, d, opts: Options):
@@ -72,8 +77,23 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
 
     # ---- corrector (combined direction) ----
     comp_corr = F.comp_rhs_corrector(be, it, d_aff, sigma_mu)
-    d = _solve_dir(be, it, res, comp_corr, Ominv, fac, opts)
-    a_p, a_d = _alphas(be, it, d, opts)
+    d, bicg = _solve_dir(be, it, res, comp_corr, Ominv, fac, opts,
+                         want_stats=True)
+
+    # ---- weighted predictor-corrector line search (reference :459-526) --
+    if opts.n_linesearch_points > 1:
+        d, a_p, a_d = _weighted_pc_search(be, it, d_aff, d, opts)
+    else:
+        a_p, a_d = _alphas(be, it, d, opts)
+
+    # dynamic corrector budget: when the outer BiCGStab had to work hard,
+    # skip extra correctors (reference :639-653 limits Gondzio correctors
+    # by BiCGStab iteration count — the Observer feedback)
+    allow_gondzio = jnp.asarray(True)
+    if bicg is not None:
+        allow_gondzio = (bicg["iterations"]
+                         < max(opts.outer_max_iters - 1, 1)) \
+            & bicg["converged"]
 
     # ---- Gondzio multiple centrality correctors (reference :236-358) ----
     zero_res = jax.tree.map(jnp.zeros_like, res)
@@ -83,7 +103,8 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
         def cond(carry):
             d_c, ap_c, ad_c, k, go = carry
             small = jnp.minimum(ap_c, ad_c) < 1.0
-            return go & small & (k < opts.max_gondzio_correctors)
+            return (go & small & allow_gondzio
+                    & (k < opts.max_gondzio_correctors))
 
         def body(carry):
             d_c, ap_c, ad_c, k, _ = carry
@@ -119,23 +140,53 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
 
 
 def _final_steplengths(be, it, d, a_p_max, a_d_max, mu, opts: Options):
-    """Mehrotra's adaptive step-length heuristic (reference
+    """Mehrotra's step-length heuristic, blocking-pair form (reference
     mehrotra_step_length primal :696-744 / primal-dual :746-816).
 
-    Uses the mu the step would produce to scale back from the maximum step:
-    alpha = gamma_f * alpha_max adjusted so the blocking product stays
-    >= (mu_+ / blocking value) * fraction; we use the robust simplified form
-    max(gamma_f * alpha_max, 1 - mu_+/blocking-scale) with the classical
-    0.99995 cap, which matches the reference's behavior on LPs to within an
-    iteration or two."""
+    For each side, the step is chosen so that the BLOCKING pair's product
+    after the step stays >= gamma_f * mu_+ : with blocking primal value
+    v_b(alpha) = v_b + alpha dv_b (and dv_b = -v_b/alpha_max at blocking),
+    solve v_b(alpha) * partner(alpha_max) = gamma_f * mu_+ for alpha.
+    Falls back to gamma_f * alpha_max when the formula is degenerate."""
     gf = opts.steplength_factor
     mu_full = F.mu_after_step(be, it, d, a_p_max, a_d_max)
-    # fraction-to-boundary scaling: tau -> 1 as mu -> 0
-    tau = jnp.maximum(0.99, 1.0 - mu_full / jnp.maximum(mu, 1e-300))
-    tau = jnp.clip(tau, 0.99, gf)
-    a_p = jnp.minimum(tau * a_p_max, gf)
-    a_d = jnp.minimum(tau * a_d_max, gf)
+
+    def side(a_max, primal):
+        val_b, partner = F.blocking_pair_info(be, it, d, a_max, primal)
+        ok = (jnp.isfinite(val_b) & jnp.isfinite(partner)
+              & (val_b > 0) & (partner > 1e-300) & (a_max > 1e-12))
+        dval_b = -val_b / jnp.maximum(a_max, 1e-12)
+        target = gf * mu_full / jnp.maximum(partner, 1e-300)
+        alpha = (target - val_b) / jnp.where(dval_b < 0, dval_b, -1.0)
+        alpha = jnp.where(ok, alpha, gf * a_max)
+        # keep within [gamma_f * a_max, a_max] (reference clamps likewise)
+        return jnp.clip(alpha, gf * a_max, jnp.minimum(a_max, gf))
+
     if opts.step_mode == StepMode.PRIMAL:
-        a = jnp.minimum(a_p, a_d)
+        a_max = jnp.minimum(a_p_max, a_d_max)
+        # single step length: use the more conservative of the two sides
+        a = jnp.minimum(side(a_max, True), side(a_max, False))
         return a, a
-    return a_p, a_d
+    return side(a_p_max, True), side(a_d_max, False)
+
+
+def _weighted_pc_search(be, it, d_aff, d_corr, opts: Options):
+    """Weighted predictor-corrector line search (reference
+    InteriorPointMethod.cpp:459-526): evaluate n_linesearch_points
+    interpolates d(w) = d_aff + w (d_corr - d_aff), w in (0, 1], and keep
+    the weight maximizing the combined step length."""
+    n = max(opts.n_linesearch_points, 1)
+    ws = jnp.linspace(1.0 / n, 1.0, n)
+
+    d_delta = jax.tree.map(lambda a, b: b - a, d_aff, d_corr)
+
+    def eval_w(w):
+        dw = jax.tree.map(lambda a, dd: a + w * dd, d_aff, d_delta)
+        a_p, a_d = _alphas(be, it, dw, opts)
+        return a_p + a_d, a_p, a_d
+
+    scores, aps, ads = jax.vmap(eval_w)(ws)
+    best = jnp.argmax(scores)
+    w_best = ws[best]
+    d = jax.tree.map(lambda a, dd: a + w_best * dd, d_aff, d_delta)
+    return d, aps[best], ads[best]

@@ -45,6 +45,9 @@ def _enable_compilation_cache():
     _CACHE_ENABLED = True
     import os
     try:
+        if jax.devices()[0].platform == "cpu":
+            return  # CPU AOT cache entries are machine-feature-pinned
+                    # (SIGILL risk across heterogeneous hosts); TPU only
         cache_dir = os.environ.get("PIPS_TPU_COMPILE_CACHE",
                                    os.path.expanduser("~/.cache/pips_tpu_xla"))
         os.makedirs(cache_dir, exist_ok=True)

@@ -354,3 +354,80 @@ def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
                     if pd.infeasible:
                         return n
     return n
+
+
+# ======================================================================
+# Pass 6: singleton columns (reference StochPresolverSingletonColumns;
+# free column singletons in equality rows)
+# ======================================================================
+
+def singleton_columns(pd: PresolveData) -> int:
+    """A FREE variable appearing in exactly one equality row can absorb the
+    row: substitute x_j = (b_r - rest)/a_j, fold c_j into the objective and
+    the row-mates' costs, and remove both the column and the row.  The row
+    dual is determined at postsolve: y_r = c_j / a_j."""
+    n = 0
+    # count active-column occurrences per variable across eq AND ineq rows
+    for vb in [FIRST] + list(range(pd.N)):
+        c, ixl, xl, ixu, xu, active = pd.var_arrays(vb)
+        for j in np.nonzero(active)[0]:
+            j = int(j)
+            if ixl[j] > 0 or ixu[j] > 0:
+                continue                      # only FREE variables
+            iq = pd.ineq_column(vb, j)
+            if iq:
+                continue
+            eq = pd.eq_column(vb, j)
+            if len(eq) != 1:
+                continue
+            rb, r, a = eq[0]
+            # the defining row's full coefficient list
+            row_coeffs = _eq_row_coeffs(pd, rb, r)
+            b_r = _eq_rhs(pd, rb, r)
+            cj = float(c[j])
+            # fold objective: c_j x_j = c_j/a (b_r - sum_{k != j} a_k x_k)
+            pd.objective_offset += cj * b_r / a
+            for (kb, k, ak) in row_coeffs:
+                if kb == vb and k == j:
+                    continue
+                ck, *_rest = pd.var_arrays(kb)
+                ck[k] -= cj * ak / a
+            pd.emit("SINGLETON_COLUMN", vb=vb, j=j, a=a, c=cj,
+                    row_blk=rb, row_idx=r, row_coeffs=row_coeffs, b=b_r)
+            pd.remove_eq_row(rb, r, "singleton_column")
+            # deactivate the variable (inert box, zero everywhere)
+            pd._zero_column(vb, j)
+            c[j] = 0.0
+            ixl[j] = 1.0
+            xl[j] = -1.0
+            ixu[j] = 1.0
+            xu[j] = 1.0
+            active[j] = False
+            n += 1
+    return n
+
+
+def _eq_row_coeffs(pd, blk, r):
+    if blk == FIRST:
+        return [(FIRST, int(j), float(pd.A0[r, j]))
+                for j in np.nonzero(pd.A0[r])[0]]
+    if blk == LINK:
+        out = [(FIRST, int(j), float(pd.F0[r, j]))
+               for j in np.nonzero(pd.F0[r])[0]]
+        for i in range(pd.N):
+            out += [(i, int(j), float(pd.F[i][r, j]))
+                    for j in np.nonzero(pd.F[i][r])[0]]
+        return out
+    out = [(FIRST, int(j), float(pd.A[blk][r, j]))
+           for j in np.nonzero(pd.A[blk][r])[0]]
+    out += [(blk, int(j), float(pd.B[blk][r, j]))
+            for j in np.nonzero(pd.B[blk][r])[0]]
+    return out
+
+
+def _eq_rhs(pd, blk, r):
+    if blk == FIRST:
+        return float(pd.b0[r])
+    if blk == LINK:
+        return float(pd.bl[r])
+    return float(pd.bN[blk, r])

@@ -114,6 +114,15 @@ class Postsolver:
                     for (cb, cr, ca) in d["iq_col"]:
                         acc += ca * sol.zdual(cb)[cr]
                     sol.ydual(rb)[r] = (d["c"] - acc) / a
+            elif k == "SINGLETON_COLUMN":
+                vb, j, a = d["vb"], d["j"], d["a"]
+                acc = 0.0
+                for (kb, kk, ak) in d["row_coeffs"]:
+                    if kb == vb and kk == j:
+                        continue
+                    acc += ak * sol.x(kb)[kk]
+                sol.x(vb)[j] = (d["b"] - acc) / a
+                sol.ydual(d["row_blk"])[d["row_idx"]] = d["c"] / a
             elif k == "REMOVED_INEQ_ROW" and d["reason"] == "singleton_row":
                 blk, r = d["blk"], d["r"]
                 vb, j, a = d["var_blk"], d["j"], d["coef"]

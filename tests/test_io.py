@@ -154,3 +154,22 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert "optimal objective: 7" in out
     sol = np.load(f"{stem}_solution.npz")
     assert abs(float(sol["objective"]) - opt) < 1e-6
+
+
+def test_cli_check_blocks(tmp_path, capsys):
+    from pips_ipmpp_tpu.cli import main
+    lp, _ = two_scenario_linking_lp()
+    stem = str(tmp_path / "chk")
+    write_blocks(lp, stem)
+    rc = main(["--check", stem])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OK:" in out
+
+    # corrupt: crossed bounds in block 1
+    import numpy as np
+    f = dict(np.load(f"{stem}_block1.npz"))
+    f["xlow"] = f["xupp"] + 1.0
+    np.savez(f"{stem}_block1.npz", **f)
+    rc = main(["--check", stem])
+    out = capsys.readouterr().out
+    assert rc == 1 and "xlow > xupp" in out

@@ -173,3 +173,47 @@ def test_bound_strengthening_tightens():
     assert k >= 2
     assert pd.ixupp0[0] > 0 and abs(pd.xupp0[0] - 1.0) < 1e-12
     assert pd.ixupp0[1] > 0 and abs(pd.xupp0[1] - 1.0) < 1e-12
+
+
+def test_singleton_column():
+    """Free column singleton: x2 free, appears only in eq row x1 + 2 x2 = 4.
+    min x1 + 3 x2 s.t. that row, 0 <= x1 <= 10, plus an anchor block.
+    Substitution: x2 = (4 - x1)/2 -> objective x1 + 3(4-x1)/2 = 6 - x1/2
+    -> minimized at x1 = 10, x2 = -3, objective 1."""
+    first = dict(
+        c=np.array([1.0, 3.0]),
+        A=np.array([[1.0, 2.0]]), b=np.array([4.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0, 0.0]), xlow=np.array([0.0, 0.0]),
+        ixupp=np.array([1.0, 0.0]), xupp=np.array([10.0, 0.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    blocks = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    lp = make_arrowhead_lp(blocks, first)
+
+    pres = Presolver()
+    res = pres.presolve(lp)
+    assert res.stats.get("singleton_columns", 0) == 1
+
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(base.getObjective() - 1.0) < 1e-6
+    assert abs(iface.getObjective() - 1.0) < 1e-6
+    sol = iface._postsolve()
+    assert abs(sol.x0[0] - 10.0) < 1e-6
+    assert abs(sol.x0[1] - (-3.0)) < 1e-6
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"

@@ -107,4 +107,5 @@ def test_interface_with_scaler():
         lp, Options(scaler=ScalerType.GEOMETRIC_MEAN))
     st = iface.run()
     assert st == TerminationStatus.SUCCESSFUL_TERMINATION
-    assert abs(iface.getObjective() - base.getObjective()) < 1e-5
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-5 * max(
+        1.0, abs(base.getObjective()))
