@@ -64,6 +64,9 @@ class Options:
     refinement_tolerance: float = 1e-9
     outer_bicgstab: bool = False           # OUTER_SOLVE=2 analog
     outer_max_iters: int = 8
+    sc_blockwise: int = 0                  # >0: stream the Schur computation
+                                           # in column chunks of this size
+                                           # (SC_COMPUTE_BLOCKWISE analog)
 
     # ---- preprocessing ----
     scaler: ScalerType = ScalerType.NONE

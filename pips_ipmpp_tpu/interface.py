@@ -67,8 +67,10 @@ class PIPSIPMppTPUInterface:
                                      self.options)
         elif isinstance(lp, ArrowheadLP):
             from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
-            self._solver = IPMSolver(partial(ArrowBackend, factor_dtype=fd),
-                                     self.options)
+            self._solver = IPMSolver(
+                partial(ArrowBackend, factor_dtype=fd,
+                        blockwise_sc=self.options.sc_blockwise),
+                self.options)
         else:
             raise TypeError(f"unsupported problem type {type(lp)}")
 

@@ -150,7 +150,8 @@ class ArrowBackend:
     def __init__(self, lp: ArrowheadLP, factor_dtype=jnp.float64,
                  axis: Optional[str] = None,
                  explicit_inverse: Optional[bool] = None,
-                 pallas_chol: bool = False):
+                 pallas_chol: bool = False,
+                 blockwise_sc: int = 0):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -162,6 +163,13 @@ class ArrowBackend:
             explicit_inverse = (jnp.dtype(factor_dtype) == jnp.float32)
         self.explicit_inverse = explicit_inverse
         self.pallas_chol = pallas_chol
+        # blockwise Schur computation (reference SC_COMPUTE_BLOCKWISE,
+        # DistributedLinearSystem.h:77-99): border solves are streamed in
+        # column chunks of this size and the K^{-1}R caches are NOT stored;
+        # back-substitution recomputes them with one extra leaf solve.
+        # 0 disables (full caches). Bounds factorize memory to
+        # O(N * k * blockwise_sc) instead of O(N * k * nS).
+        self.blockwise_sc = blockwise_sc
         self.bounds = Bounds(
             c=XVec(lp.c0, lp.cN),
             b=RVec(lp.b0, lp.bN, lp.bl),
@@ -263,6 +271,15 @@ class ArrowBackend:
         else:
             Ninv = jnp.zeros((), fd)
 
+        if self.blockwise_sc > 0:
+            contrib = self._psum(self._contrib_blockwise(
+                L, Ninv, Einv, M)).astype(Einv.dtype)
+            Ux = jnp.zeros((), Einv.dtype)
+            Um = jnp.zeros((), Einv.dtype)
+            return self._assemble_root(
+                Dx, Ominv, delta_p, delta_d, L, Ninv, Einv, Om, Ux, Um,
+                contrib)
+
         # ---- border solves U = K^{-1} R (structure-exploiting) ----
         # E^{-1} R_x = [0 | Einv*F' | Einv*G']
         EiRx = jnp.concatenate([
@@ -296,6 +313,15 @@ class ArrowBackend:
             jnp.concatenate([contrib_x0, contrib_yl, contrib_zl],
                             axis=0)).astype(Einv.dtype)
 
+        return self._assemble_root(Dx, Ominv, delta_p, delta_d, L, Ninv,
+                                   Einv, Om, Ux, Um, contrib)
+
+    def _assemble_root(self, Dx, Ominv, delta_p, delta_d, L, Ninv, Einv,
+                       Om, Ux, Um, contrib):
+        lp = self.lp
+        fd = self.factor_dtype
+        n0, m0E, m0I = lp.n0, lp.m0E, lp.m0I
+        mEl, mIl = lp.mEl, lp.mIl
         # ---- root matrix S over s0full = [x0; y0; z0; yl; zl] ----
         Einv0 = 1.0 / (Dx.first + delta_p)
         Om0 = 1.0 / Ominv.first
@@ -358,6 +384,68 @@ class ArrowBackend:
                             Einv0=Einv0, Om0=Om0, Oml=Oml,
                             delta_p=jnp.asarray(delta_p, Einv.dtype),
                             delta_d=jnp.asarray(delta_d, Einv.dtype))
+
+    def _leaf_apply_inv(self, L, Ninv, Einv, M, rx, rm):
+        """K_b^{-1} applied to (rx [N,n,c], rm [N,a,c]) multi-RHS."""
+        fd = self.factor_dtype
+        t = (jnp.einsum("iam,imc->iac", M.astype(fd),
+                        (Einv[:, :, None] * rx).astype(fd))
+             - rm.astype(fd))
+        if self.explicit_inverse:
+            um = jnp.einsum("iab,ibc->iac", Ninv, t)
+        else:
+            um = _bchol_solve(L, t)
+        ux = (Einv[:, :, None].astype(fd) * (rx.astype(fd) - jnp.einsum(
+            "iam,iac->imc", M.astype(fd), um)))
+        return ux, um
+
+    def _contrib_blockwise(self, L, Ninv, Einv, M):
+        """Streamed Schur contribution R' K^{-1} R in column chunks
+        (reference SC_COMPUTE_BLOCKWISE / addTermToSchurComplBlocked):
+        column groups are [x0 (n0) | yl (mEl) | zl (mIl)]; each chunk of
+        columns is solved and contracted against the full border without
+        ever materializing [N, k, nS] caches."""
+        lp = self.lp
+        fd = self.factor_dtype
+        n0, mEl, mIl = lp.n0, lp.mEl, lp.mIl
+        mE, mI, n = lp.mE, lp.mI, lp.n
+        nS = n0 + mEl + mIl
+        ch = self.blockwise_sc
+        dt = Einv.dtype
+
+        contrib = jnp.zeros((nS, nS), fd)
+
+        def rt_u(ux, um):
+            """R' U for a column chunk: rows [x0; yl; zl]."""
+            r_x0 = (jnp.einsum("imk,imc->kc", lp.A.astype(fd), um[:, :mE])
+                    + jnp.einsum("imk,imc->kc", lp.C.astype(fd), um[:, mE:]))
+            r_yl = jnp.einsum("ilm,imc->lc", lp.F.astype(fd), ux)
+            r_zl = jnp.einsum("ilm,imc->lc", lp.G.astype(fd), ux)
+            return jnp.concatenate([r_x0, r_yl, r_zl], axis=0)   # [nS, c]
+
+        # part 1: x0 columns (R_x = 0, R_m = [A; C] cols)
+        for s in range(0, n0, ch):
+            e = min(s + ch, n0)
+            rx = jnp.zeros((lp.N, n, e - s), dt)
+            rm = jnp.concatenate([lp.A[:, :, s:e], lp.C[:, :, s:e]], axis=1)
+            ux, um = self._leaf_apply_inv(L, Ninv, Einv, M, rx, rm)
+            contrib = contrib.at[:, s:e].set(rt_u(ux, um))
+        # part 2: yl columns (R_x = F', R_m = 0)
+        for s in range(0, mEl, ch):
+            e = min(s + ch, mEl)
+            rx = jnp.swapaxes(lp.F[:, s:e, :], 1, 2)
+            rm = jnp.zeros((lp.N, mE + mI, e - s), dt)
+            ux, um = self._leaf_apply_inv(L, Ninv, Einv, M, rx, rm)
+            contrib = contrib.at[:, n0 + s:n0 + e].set(rt_u(ux, um))
+        # part 3: zl columns (R_x = G', R_m = 0)
+        for s in range(0, mIl, ch):
+            e = min(s + ch, mIl)
+            rx = jnp.swapaxes(lp.G[:, s:e, :], 1, 2)
+            rm = jnp.zeros((lp.N, mE + mI, e - s), dt)
+            ux, um = self._leaf_apply_inv(L, Ninv, Einv, M, rx, rm)
+            contrib = contrib.at[:, n0 + mEl + s:n0 + mEl + e].set(
+                rt_u(ux, um))
+        return contrib
 
     def factorization_ok(self, fac: ArrowFactors) -> jax.Array:
         ok = (jnp.all(jnp.isfinite(fac.L)) & jnp.all(jnp.isfinite(fac.chol1))
@@ -491,9 +579,21 @@ class ArrowBackend:
         # Dsolve: root dense solve
         a, d = self._root_solve(fac, p, q)
 
-        # Ltsolve: back-substitute into blocks via cached U
+        # Ltsolve: back-substitute into blocks
         s0 = jnp.concatenate([a, d[m0E + m0I:m0E + m0I + mEl],
                               d[m0E + m0I + mEl:]])
+        if self.blockwise_sc > 0:
+            # no cached K^{-1}R (streamed SC): recompute K^{-1}(R s0) with
+            # one extra leaf solve (reference blockwise Ltsolve)
+            yl_s = s0[lp.n0:lp.n0 + mEl]
+            zl_s = s0[lp.n0 + mEl:]
+            rx2 = (jnp.einsum("ilm,l->im", lp.F, yl_s)
+                   + jnp.einsum("ilm,l->im", lp.G, zl_s))
+            rm2 = jnp.concatenate([
+                jnp.einsum("imk,k->im", lp.A, s0[:lp.n0]),
+                jnp.einsum("imk,k->im", lp.C, s0[:lp.n0])], axis=1)
+            gx2, gm2 = self._leaf_solve(fac, rx2, rm2)
+            return a, gx - gx2, d, gm - gm2
         dx_blocks = gx - jnp.einsum("imS,S->im", fac.Ux, s0)
         gm_out = gm - jnp.einsum("iaS,S->ia", fac.Um, s0)
         return a, dx_blocks, d, gm_out

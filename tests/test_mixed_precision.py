@@ -81,3 +81,35 @@ def test_explicit_inverse_path():
                    Options()).solve(lp)
     assert r1.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(r1.objective - r2.objective) < 1e-7
+
+
+def test_blockwise_sc_matches_cached():
+    """Streamed Schur computation (no K^{-1}R caches) must match the cached
+    path bit-for-bit in objective and satisfy the Newton oracle."""
+    from tests.helpers import (interior_iterate, max_newton_error,
+                               newton_residuals)
+    from pips_ipmpp_tpu.ipm import formulation as F
+    lp = random_arrowhead_lp(6, N=4, n=6, mE=3, mI=4, n0=3, m0E=2, m0I=2,
+                             mEl=4, mIl=3)
+    be_c = ArrowBackend(lp)
+    be_b = ArrowBackend(lp, blockwise_sc=2)
+    it = interior_iterate(be_c, jax.random.PRNGKey(0))
+    res = F.compute_residuals(be_c, it)
+    Dx, Om = F.kkt_diagonals(be_c, it)
+    for be in (be_c, be_b):
+        fac = be.factorize(Dx, Om, 0.0, 0.0)
+        comp = F.comp_rhs_affine(be, it)
+        rhs = F.assemble_reduced_rhs(be, it, res, comp, Om)
+        dx, dy, dz = be.solve_reduced(fac, rhs, refinement_steps=2)
+        d = F.recover_step(be, it, res, comp, Om, rhs, dx, dy, dz)
+        errs = max_newton_error(newton_residuals(be, it, d, res, comp))
+        assert max(errs.values()) < 1e-8, (be.blockwise_sc, errs)
+    # factorize memory: blockwise stores no caches
+    fac_b = be_b.factorize(Dx, Om, 1e-10, 1e-10)
+    assert fac_b.Ux.ndim == 0 and fac_b.Um.ndim == 0
+
+    r_c = IPMSolver(ArrowBackend, Options()).solve(lp)
+    r_b = IPMSolver(partial(ArrowBackend, blockwise_sc=3),
+                    Options()).solve(lp)
+    assert r_b.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r_b.objective - r_c.objective) < 1e-8
