@@ -181,7 +181,10 @@ class HierArrowBackend(ArrowBackend):
     def __init__(self, lp: ArrowheadLP, meta: HierMeta,
                  factor_dtype=jnp.float64, axis: Optional[str] = None):
         assert axis is None, "hierarchical backend: GSPMD distribution only"
-        super().__init__(lp, factor_dtype=factor_dtype, axis=axis)
+        # HierFactors carries no explicit root inverses yet: force the
+        # triangular root-solve path regardless of factor dtype
+        super().__init__(lp, factor_dtype=factor_dtype, axis=axis,
+                         explicit_inverse=False)
         self.meta = meta
 
     # -- layout helpers ------------------------------------------------

@@ -109,3 +109,16 @@ def test_interface_hierarchical():
     y_h = iface.gatherDualSolutionEq()
     assert y_b.shape == y_h.shape
     np.testing.assert_allclose(y_h, y_b, atol=2e-4)
+
+
+def test_hier_f32_factor_dtype():
+    """f32 factors on the hier backend (the TPU auto mode) must work —
+    regression: the inherited explicit-inverse path crashed on HierFactors."""
+    lp = random_hier_arrowhead_lp(4, N=8, n_groups=2)
+    hlp, meta = build_hierarchical_lp(lp, 2)
+    r = IPMSolver(partial(HierArrowBackend, meta=meta,
+                          factor_dtype=jnp.float32),
+                  Options(refinement_steps=6)).solve(hlp)
+    assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    ref = IPMSolver(ArrowBackend, Options()).solve(lp)
+    assert abs(r.objective - ref.objective) < 1e-4 * max(1, abs(ref.objective))
