@@ -194,62 +194,59 @@ def parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
     return n
 
 
-def _row_key(coeffs):
-    return tuple(sorted((vb, j) for vb, j, _ in coeffs))
+def _find_parallel(rows, tol):
+    """Detect proportional rows among (blk, r, coeffs, data) items using the
+    native C++ detector (pips_ipmpp_tpu.native.detect_parallel_rows) over a
+    dense matrix on the union of touched columns; returns a list of
+    (kept_item, dup_item, factor) with row_dup = factor * row_kept."""
+    import numpy as np
+
+    from pips_ipmpp_tpu import native
+
+    items = [it for it in rows if it[2]]
+    if len(items) < 2:
+        return []
+    cols = {}
+    for (_b, _r, coeffs, _d) in items:
+        for (vb, j, _a) in coeffs:
+            cols.setdefault((vb, j), len(cols))
+    M = np.zeros((len(items), len(cols)))
+    for i, (_b, _r, coeffs, _d) in enumerate(items):
+        for (vb, j, a) in coeffs:
+            M[i, cols[(vb, j)]] = a
+    kept, dup, fct = native.detect_parallel_rows(M, tol)
+    return [(items[int(k)], items[int(d)], float(f))
+            for k, d, f in zip(kept, dup, fct)]
 
 
 def _parallel_eq_scope(pd, rows, tol) -> int:
     n = 0
-    by_pattern = {}
-    for blk, r, coeffs, b in rows:
-        if not coeffs:
-            continue
-        by_pattern.setdefault((blk if blk == LINK else blk,
-                               _row_key(coeffs)), []).append(
-            (blk, r, coeffs, b))
-    for _, group in by_pattern.items():
-        kept = group[0]
-        for cand in group[1:]:
-            k = _proportionality(kept[2], cand[2], tol)
-            if k is None:
-                continue
-            if abs(cand[3] - k * kept[3]) > FEASTOL * max(1, abs(cand[3])):
-                pd.infeasible = True
-                return n
-            pd.remove_eq_row(cand[0], cand[1], "parallel_row",
-                             kept_blk=kept[0], kept_r=kept[1], factor=k)
-            n += 1
+    for kept, cand, k in _find_parallel(rows, tol):
+        if abs(cand[3] - k * kept[3]) > FEASTOL * max(1, abs(cand[3])):
+            pd.infeasible = True
+            return n
+        pd.remove_eq_row(cand[0], cand[1], "parallel_row",
+                         kept_blk=kept[0], kept_r=kept[1], factor=k)
+        n += 1
     return n
 
 
 def _parallel_ineq_scope(pd, rows, tol) -> int:
     n = 0
-    by_pattern = {}
-    for blk, r, coeffs, bnds in rows:
-        if not coeffs:
-            continue
-        by_pattern.setdefault(_row_key(coeffs), []).append(
-            (blk, r, coeffs, bnds))
-    for _, group in by_pattern.items():
-        kept = group[0]
-        for cand in group[1:]:
-            k = _proportionality(kept[2], cand[2], tol)
-            if k is None:
-                continue
-            # merge candidate bounds into kept row: cand row = k * kept row
-            il_c, lo_c, iu_c, up_c = cand[3]
-            if k > 0:
-                nl = lo_c / k if il_c > 0 else None
-                nu = up_c / k if iu_c > 0 else None
-            else:
-                nl = up_c / k if iu_c > 0 else None
-                nu = lo_c / k if il_c > 0 else None
-            _merge_ineq_bounds(pd, kept[0], kept[1], nl, nu)
-            pd.remove_ineq_row(cand[0], cand[1], "parallel_row",
-                               kept_blk=kept[0], kept_r=kept[1], factor=k)
-            n += 1
-            if pd.infeasible:
-                return n
+    for kept, cand, k in _find_parallel(rows, tol):
+        il_c, lo_c, iu_c, up_c = cand[3]
+        if k > 0:
+            nl = lo_c / k if il_c > 0 else None
+            nu = up_c / k if iu_c > 0 else None
+        else:
+            nl = up_c / k if iu_c > 0 else None
+            nu = lo_c / k if il_c > 0 else None
+        _merge_ineq_bounds(pd, kept[0], kept[1], nl, nu)
+        pd.remove_ineq_row(cand[0], cand[1], "parallel_row",
+                           kept_blk=kept[0], kept_r=kept[1], factor=k)
+        n += 1
+        if pd.infeasible:
+            return n
     return n
 
 
@@ -272,22 +269,6 @@ def _merge_ineq_bounds(pd, blk, r, nl, nu):
         up[idx] = nu
     if il[idx] > 0 and iu[idx] > 0 and lo[idx] > up[idx] + FEASTOL:
         pd.infeasible = True
-
-
-def _proportionality(c1, c2, tol):
-    """Return k with row2 = k*row1, or None."""
-    d1 = {(vb, j): a for vb, j, a in c1}
-    d2 = {(vb, j): a for vb, j, a in c2}
-    if d1.keys() != d2.keys():
-        return None
-    k = None
-    for key, a1 in d1.items():
-        r = d2[key] / a1
-        if k is None:
-            k = r
-        elif abs(r - k) > tol * max(1.0, abs(k)):
-            return None
-    return k
 
 
 # ======================================================================
