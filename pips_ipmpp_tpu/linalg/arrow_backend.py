@@ -143,6 +143,47 @@ def preconditioned_bicgstab(b, precond, applyK, dot, max_iters, tol):
     return u, stats
 
 
+
+def preconditioned_cg(b, precond, applyK, dot, max_iters, tol):
+    """Layout-generic preconditioned conjugate gradients (the reference's
+    CGSolver/PCGSolver family) for SPD operators; same pytree contract as
+    preconditioned_bicgstab. Returns (u, stats)."""
+    bnorm = jnp.sqrt(jnp.maximum(dot(b, b), 1e-300))
+    u0 = jax.tree.map(jnp.zeros_like, b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    rn0 = jnp.sqrt(jnp.maximum(dot(r0, r0), 0.0))
+
+    def cond(c):
+        u, r, z, p, rz, k, rn, flag = c
+        return (k < max_iters) & (rn > tol * bnorm) & (flag == 0)
+
+    def body(c):
+        u, r, z, p, rz, k, rn, flag = c
+        Kp = applyK(p)
+        denom = dot(p, Kp)
+        breakdown = jnp.abs(denom) < 1e-300
+        alpha = rz / jnp.where(breakdown, 1.0, denom)
+        u2 = jax.tree.map(lambda a, bb: a + alpha * bb, u, p)
+        r2 = jax.tree.map(lambda a, bb: a - alpha * bb, r, Kp)
+        z2 = precond(r2)
+        rz2 = dot(r2, z2)
+        beta = rz2 / jnp.where(jnp.abs(rz) < 1e-300, 1.0, rz)
+        p2 = jax.tree.map(lambda a, bb: a + beta * bb, z2, p)
+        rn2 = jnp.sqrt(jnp.maximum(dot(r2, r2), 0.0))
+        flag2 = jnp.where(breakdown, jnp.asarray(1, jnp.int32),
+                          jnp.asarray(0, jnp.int32))
+        return (u2, r2, z2, p2, rz2, k + 1, rn2, flag2)
+
+    u, r, _, _, _, k, rn, flag = jax.lax.while_loop(
+        cond, body, (u0, r0, z0, p0, rz0, jnp.zeros((), jnp.int32), rn0,
+                     jnp.zeros((), jnp.int32)))
+    return u, dict(iterations=k, relres=rn / bnorm,
+                   converged=(rn <= tol * bnorm), flag=flag)
+
+
 class ArrowBackend:
     """Backend over an ArrowheadLP. `axis` names the mesh axis when running
     inside shard_map (block batch sharded; first-stage/link replicated)."""

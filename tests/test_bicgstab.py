@@ -70,3 +70,18 @@ def test_ipm_with_outer_bicgstab(seed):
     bic = IPMSolver(ArrowBackend, Options(outer_bicgstab=True)).solve(lp)
     assert bic.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(bic.objective - ref.objective) < 1e-6
+
+
+def test_preconditioned_cg():
+    """Standalone PCG on an SPD system (array pytree contract)."""
+    from pips_ipmpp_tpu.linalg.arrow_backend import preconditioned_cg
+    rng = np.random.default_rng(0)
+    A_ = rng.normal(size=(40, 40))
+    K = jnp.asarray(A_ @ A_.T + 40 * np.eye(40))
+    b = jnp.asarray(rng.normal(size=40))
+    diag_inv = 1.0 / jnp.diag(K)
+    u, stats = preconditioned_cg(
+        b, lambda v: diag_inv * v, lambda v: K @ v,
+        lambda a, c: jnp.vdot(a, c), max_iters=200, tol=1e-12)
+    assert bool(stats["converged"]), stats
+    np.testing.assert_allclose(np.asarray(K @ u), np.asarray(b), atol=1e-8)
