@@ -67,6 +67,10 @@ class ArrowFactors:
     Oml: jax.Array      # [mIl]
     delta_p: jax.Array
     delta_d: jax.Array
+    Sinv: jax.Array     # [nSfull, nSfull] explicit root inverse (LDL kernel
+                        # path; the role of the reference's factorized root,
+                        # sLinsysRootAug.C:347-354) or ()
+    ok: jax.Array       # scalar factorization-health flag (local)
 
 
 def _bchol_solve(L, b):
@@ -192,6 +196,7 @@ class ArrowBackend:
                  axis: Optional[str] = None,
                  explicit_inverse: Optional[bool] = None,
                  pallas_chol: bool = False,
+                 ldl_kernel: Optional[bool] = None,
                  blockwise_sc: int = 0):
         self.lp = lp
         self.axis = axis
@@ -204,6 +209,13 @@ class ArrowBackend:
             explicit_inverse = (jnp.dtype(factor_dtype) == jnp.float32)
         self.explicit_inverse = explicit_inverse
         self.pallas_chol = pallas_chol
+        # fused Pallas LDL^T+inverse kernel for the leaf and root factors
+        # (pallas_ldl.py) — the f32 TPU production path; f64 keeps the XLA
+        # cholesky path (CPU oracle tests)
+        if ldl_kernel is None:
+            ldl_kernel = (jnp.dtype(factor_dtype) == jnp.float32
+                          and self.explicit_inverse)
+        self.ldl_kernel = ldl_kernel
         # blockwise Schur computation (reference SC_COMPUTE_BLOCKWISE,
         # DistributedLinearSystem.h:77-99): border solves are streamed in
         # column chunks of this size and the K^{-1}R caches are NOT stored;
@@ -299,18 +311,31 @@ class ArrowBackend:
         MEi = M * Einv[:, None, :]
         Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
                + jax.vmap(jnp.diag)(Fd.astype(fd)))
-        if self.pallas_chol and Neq.dtype == jnp.float32 \
-                and Neq.shape[-1] % 64 == 0:
-            from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
-            L = batched_cholesky(Neq)
+        if self.ldl_kernel:
+            # fused batched LDL^T + unit-lower inverse (pallas_ldl kernel);
+            # one VMEM-resident pass replaces cholesky + 2 triangular solves
+            from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
+            Xf, df = ldl_inverse_factors(Neq)
+            Ninv = jnp.einsum("ica,ic,icb->iab", Xf, 1.0 / df, Xf,
+                              precision=jax.lax.Precision.HIGHEST)
+            L = jnp.zeros((), fd)
+            leaf_ok = jnp.all(jnp.isfinite(Ninv)) & jnp.all(df > 0.0)
         else:
-            L = jnp.linalg.cholesky(Neq)                       # [N, a, a]
-        if self.explicit_inverse:
-            eye_a = jnp.broadcast_to(jnp.eye(mE + mI, dtype=fd),
-                                     (lp.N, mE + mI, mE + mI))
-            Ninv = _bchol_solve(L, eye_a)
-        else:
-            Ninv = jnp.zeros((), fd)
+            if self.pallas_chol and Neq.dtype == jnp.float32 \
+                    and Neq.shape[-1] % 64 == 0:
+                from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
+                L = batched_cholesky(Neq)
+            else:
+                L = jnp.linalg.cholesky(Neq)                   # [N, a, a]
+            if self.explicit_inverse:
+                eye_a = jnp.broadcast_to(jnp.eye(mE + mI, dtype=fd),
+                                         (lp.N, mE + mI, mE + mI))
+                Ninv = _bchol_solve(L, eye_a)
+                leaf_ok = (jnp.all(jnp.isfinite(L))
+                           & jnp.all(jnp.isfinite(Ninv)))
+            else:
+                Ninv = jnp.zeros((), fd)
+                leaf_ok = jnp.all(jnp.isfinite(L))
 
         if self.blockwise_sc > 0:
             contrib = self._psum(self._contrib_blockwise(
@@ -319,7 +344,7 @@ class ArrowBackend:
             Um = jnp.zeros((), Einv.dtype)
             return self._assemble_root(
                 Dx, Ominv, delta_p, delta_d, L, Ninv, Einv, Om, Ux, Um,
-                contrib)
+                contrib, leaf_ok)
 
         # ---- border solves U = K^{-1} R (structure-exploiting) ----
         # E^{-1} R_x = [0 | Einv*F' | Einv*G']
@@ -355,10 +380,10 @@ class ArrowBackend:
                             axis=0)).astype(Einv.dtype)
 
         return self._assemble_root(Dx, Ominv, delta_p, delta_d, L, Ninv,
-                                   Einv, Om, Ux, Um, contrib)
+                                   Einv, Om, Ux, Um, contrib, leaf_ok)
 
     def _assemble_root(self, Dx, Ominv, delta_p, delta_d, L, Ninv, Einv,
-                       Om, Ux, Um, contrib):
+                       Om, Ux, Um, contrib, leaf_ok=None):
         lp = self.lp
         fd = self.factor_dtype
         n0, m0E, m0I = lp.n0, lp.m0E, lp.m0I
@@ -407,14 +432,48 @@ class ArrowBackend:
         S22 = S22.at[m0E + m0I + mEl:, m0E + m0I + mEl:
                      ].add(-czlx[:, n0 + mEl:])
 
+        if leaf_ok is None:
+            leaf_ok = jnp.asarray(True)
+
+        if self.ldl_kernel:
+            # ---- single quasidefinite root factor+inverse (LDL kernel) ---
+            # S_full = [[S11, S12], [S12', S22]] has SPD primal block and
+            # negative-definite dual block -> unpivoted LDL is stable
+            # (Vanderbei); the explicit inverse turns every root solve into
+            # one matvec.
+            from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
+            ns = n0 + nD
+            Sfull = jnp.zeros((ns, ns), fd)
+            Sfull = Sfull.at[:n0, :n0].set(S11.astype(fd))
+            Sfull = Sfull.at[:n0, n0:].set(S12.astype(fd))
+            Sfull = Sfull.at[n0:, :n0].set(S12.T.astype(fd))
+            Sfull = Sfull.at[n0:, n0:].set(S22.astype(fd))
+            Xs, ds = ldl_inverse_factors(Sfull[None])
+            Sinv = jnp.einsum("ica,ic,icb->iab", Xs, 1.0 / ds, Xs,
+                              precision=jax.lax.Precision.HIGHEST)[0]
+            root_ok = (jnp.all(jnp.isfinite(Sinv))
+                       & jnp.all(ds[:, :n0] > 0.0)
+                       & jnp.all(ds[:, n0:] < 0.0))
+            z = jnp.zeros((), fd)
+            return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux,
+                                Um=Um, chol1=z, S11inv=z, T=z, chol2=z,
+                                Sdinv=z, Einv0=Einv0, Om0=Om0, Oml=Oml,
+                                delta_p=jnp.asarray(delta_p, Einv.dtype),
+                                delta_d=jnp.asarray(delta_d, Einv.dtype),
+                                Sinv=Sinv, ok=leaf_ok & root_ok)
+
         # ---- root two-level condensation ----
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
         T = _spd_solve(chol1, S12.astype(fd))
         Sdual = -(S22.astype(fd) - S12.astype(fd).T @ T)
         chol2 = jnp.linalg.cholesky(Sdual)
+        root_ok = (jnp.all(jnp.isfinite(chol1))
+                   & jnp.all(jnp.isfinite(chol2)))
         if self.explicit_inverse:
             S11inv = _spd_solve(chol1, jnp.eye(n0, dtype=fd))
             Sdinv = _spd_solve(chol2, jnp.eye(chol2.shape[0], dtype=fd))
+            root_ok = (root_ok & jnp.all(jnp.isfinite(S11inv))
+                       & jnp.all(jnp.isfinite(Sdinv)))
         else:
             S11inv = jnp.zeros((), fd)
             Sdinv = jnp.zeros((), fd)
@@ -424,7 +483,9 @@ class ArrowBackend:
                             chol2=chol2, Sdinv=Sdinv,
                             Einv0=Einv0, Om0=Om0, Oml=Oml,
                             delta_p=jnp.asarray(delta_p, Einv.dtype),
-                            delta_d=jnp.asarray(delta_d, Einv.dtype))
+                            delta_d=jnp.asarray(delta_d, Einv.dtype),
+                            Sinv=jnp.zeros((), fd),
+                            ok=leaf_ok & root_ok)
 
     def _leaf_apply_inv(self, L, Ninv, Einv, M, rx, rm):
         """K_b^{-1} applied to (rx [N,n,c], rm [N,a,c]) multi-RHS."""
@@ -489,12 +550,7 @@ class ArrowBackend:
         return contrib
 
     def factorization_ok(self, fac: ArrowFactors) -> jax.Array:
-        ok = (jnp.all(jnp.isfinite(fac.L)) & jnp.all(jnp.isfinite(fac.chol1))
-              & jnp.all(jnp.isfinite(fac.chol2)))
-        if self.explicit_inverse:
-            ok = (ok & jnp.all(jnp.isfinite(fac.Ninv))
-                  & jnp.all(jnp.isfinite(fac.S11inv))
-                  & jnp.all(jnp.isfinite(fac.Sdinv)))
+        ok = fac.ok
         if self.axis is not None:
             ok = jax.lax.pmin(ok.astype(jnp.int32), self.axis) > 0
         return ok
@@ -515,9 +571,13 @@ class ArrowBackend:
         return gx, gm
 
     def _root_solve(self, fac: ArrowFactors, p, q):
-        """Solve S [a; d] = [p; q] via the cached two-level factorization."""
+        """Solve S [a; d] = [p; q] via the cached two-level factorization
+        (or one matvec with the explicit root inverse on the kernel path)."""
         fd = self.factor_dtype
         dt = p.dtype
+        if getattr(fac, "Sinv", None) is not None and fac.Sinv.ndim == 2:
+            u = (fac.Sinv @ jnp.concatenate([p, q]).astype(fd)).astype(dt)
+            return u[:p.shape[0]], u[p.shape[0]:]
         q2 = (q - fac.T.T @ p).astype(fd)
         if self.explicit_inverse:
             d = -(fac.Sdinv @ q2).astype(dt)

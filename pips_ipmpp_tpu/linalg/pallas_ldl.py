@@ -10,22 +10,22 @@ XLA's batched `cholesky` + `triangular_solve` are latency-bound on TPU:
 they dispatch one op per column / per solve (measured ~4.3 ms for
 [64, 256, 256] f32 on v5e).  This kernel performs the entire symmetric
 elimination for a GROUP of blocks inside one VMEM-resident Pallas
-program, the batch dimension vectorized across VPU sublanes:
+program, the batch dimension vectorized across VPU sublanes, with the
+sequential (per-column) work confined to tiny [G, 32, 32] diagonal
+blocks and everything panel-sized running on the MXU:
 
-  phase 1: blocked right-looking LDL^T — per 32-column panel, a
-           `fori_loop` of rank-1 eliminations restricted to the panel
-           strip, then ONE MXU rank-32 trailing update.  Sign-agnostic
-           (no sqrt) -> valid for quasidefinite matrices, so one kernel
-           serves both the SPD leaf systems and the indefinite root.
-  phase 2: blocked unit-lower triangular inversion X = L^{-1}: per panel,
-           a `fori_loop` inverts the 32x32 diagonal block, then ONE MXU
-           update propagates it to the rows below.
-  output : X and the pivot vector d;  A^{-1} = X^T diag(1/d) X is one
-           batched MXU einsum for the caller.
+  phase 1 (per 32-column panel):
+    - ONE fused fori_loop computing the LDL^T of the 32x32 diagonal block
+      AND its unit-lower inverse Xkk = Lkk^{-1} in the same column sweep
+      (sign-agnostic, no sqrt -> quasidefinite support: one kernel serves
+      both the SPD leaf systems and the indefinite root)
+    - MXU panel solve      L21 = A21 Xkk^T diag(1/d)
+    - MXU trailing update  A22 -= (L21 d) L21^T
+  phase 2 (per panel):  blocked forward substitution for X = L^{-1},
+    one MXU row-panel update each, reusing the stored Xkk blocks.
 
-The elimination exploits symmetry: M stays symmetric during phase 1, so
-column c is read from M[:, :, c] via a one-hot lane reduction and row c
-via a static-size dynamic sublane slice — no transposes anywhere.
+Output: X (= L^{-1}, unit lower) and the pivot vector d; the caller gets
+A^{-1} = X^T diag(1/d) X with one batched MXU einsum.
 """
 from __future__ import annotations
 
@@ -40,104 +40,94 @@ PANEL = 32
 
 
 def _bmm(x, y, transpose_y=False):
-    """Batched matmul [G,m,k]@[G,k,n] on the MXU."""
+    """Batched matmul [G,m,k]@[G,k,n] (or @y^T) on the MXU."""
     dn = (((2,), (2 if transpose_y else 1,)), ((0,), (0,)))
     return jax.lax.dot_general(x, y, dimension_numbers=dn,
                                preferred_element_type=jnp.float32)
 
 
-def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, *, a: int, panel: int):
-    g = a_ref.shape[0]
+def _small_ldl_inv(akk, p):
+    """Fused LDL^T + unit-lower inverse of a [G,p,p] symmetric block.
+
+    Returns (Xkk = Lkk^{-1}, d).  One column sweep does both the symmetric
+    elimination AND the forward substitution for the inverse: row j of Xkk
+    is final when step j runs (steps only touch rows > j), so the L column
+    produced at step j can be applied to Xkk immediately — Lkk itself is
+    never materialized.  Every op touches only [G,p,p] data.
+    """
+    g = akk.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g, p, p), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (g, p, p), 1)
+    eye = jnp.where(sub == lane, 1.0, 0.0).astype(akk.dtype)
+
+    def body(j, carry):
+        m, xkk, drow = carry
+        onehot = (lane == j).astype(m.dtype)
+        col = jnp.sum(m * onehot, axis=2, keepdims=True)        # [G,p,1]
+        subhot = (sub[:, :, :1] == j).astype(m.dtype)
+        piv = jnp.sum(col * subhot, axis=1, keepdims=True)      # [G,1,1]
+        inv_p = 1.0 / piv
+        rowj = jnp.sum(m * subhot, axis=1, keepdims=True)       # [G,1,p]
+        upd = ((sub > j) & (lane > j)).astype(m.dtype)
+        m = m - (col * inv_p) * rowj * upd
+        lcol = jnp.where(sub[:, :, :1] > j, col * inv_p, 0.0)   # [G,p,1]
+        xrow = jnp.sum(xkk * subhot, axis=1, keepdims=True)     # [G,1,p]
+        xkk = xkk - lcol * xrow
+        drow = jnp.where(lane[:, :1, :] == j, piv, drow)
+        return m, xkk, drow
+
+    _, xkk, drow = jax.lax.fori_loop(
+        0, p, body, (akk, eye, akk[:, :1, :] * 0.0))
+    return xkk, drow[:, 0, :]
+
+
+def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
     n_panels = a // panel
 
     # x_ref doubles as the working (trailing) matrix during phase 1; it is
-    # re-initialized to I for phase 2 once L and d are extracted.
+    # re-initialized for phase 2 once L and d are extracted.
     x_ref[...] = a_ref[...]
 
     # ---- phase 1: blocked symmetric elimination into l_ref / d_ref ----
-    # strip ops run on [G, rem, panel] slices; all panel indices static.
     for k in range(n_panels):
         r0 = k * panel
         r1 = r0 + panel
-        rem = a - r0
-
-        # local iotas for the in-panel masks
-        lane = jax.lax.broadcasted_iota(jnp.int32, (g, rem, panel), 2)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (g, rem, panel), 1)
-
-        # in-panel elimination with a fori_loop.  L columns and pivots are
-        # accumulated in loop-carried values via lane masks (Mosaic cannot
-        # store at dynamic lane offsets) and written back once per panel.
-        # Only rows/lanes > j of the strip change per step; stale
-        # above-diagonal entries are masked out.
-        def body(j, carry):
-            strip, lpan, dpan = carry
-            onehot = (lane == j).astype(strip.dtype)
-            col = jnp.sum(strip * onehot, axis=2, keepdims=True)  # [G,rem,1]
-            subhot = (sub[:, :, :1] == j).astype(strip.dtype)
-            piv = jnp.sum(col * subhot, axis=1, keepdims=True)    # [G,1,1]
-            inv_p = 1.0 / piv
-            rowj = jnp.sum(strip * subhot, axis=1, keepdims=True)  # [G,1,p]
-            upd_mask = ((sub > j) & (lane > j)).astype(strip.dtype)
-            strip = strip - (col * inv_p) * rowj * upd_mask
-            lcol = jnp.where(sub[:, :, :1] > j, col * inv_p, 0.0)
-            lcol = jnp.where(sub[:, :, :1] == j, jnp.ones_like(lcol), lcol)
-            lpan = jnp.where(lane == j, lcol, lpan)
-            dpan = jnp.where(lane[:, :1, :] == j, piv, dpan)
-            return strip, lpan, dpan
-
-        strip0 = x_ref[:, r0:, r0:r1]
-        _, lpan, dpan = jax.lax.fori_loop(
-            0, panel, body,
-            (strip0, jnp.zeros_like(strip0), strip0[:, :1, :] * 0.0))
-        l_ref[:, r0:, r0:r1] = lpan
-        d_ref[:, r0:r1] = dpan[:, 0, :]
-
-        # rank-`panel` trailing update via MXU:
-        #   M[r1:, r1:] -= L[r1:, r0:r1] diag(d) L[r1:, r0:r1]^T
+        xkk, dpan = _small_ldl_inv(x_ref[:, r0:r1, r0:r1], panel)
+        xkk_ref[:, :, r0:r1] = xkk
+        d_ref[:, r0:r1] = dpan
         if r1 < a:
-            lb = l_ref[:, r1:, r0:r1]                       # [G, rem-p, p]
-            dpan = d_ref[:, r0:r1][:, None, :]              # [G, 1, p]
+            # panel solve: L21 = A21 Xkk^T diag(1/d)   (all MXU)
+            a21 = x_ref[:, r1:, r0:r1]                   # [G, rem-p, p]
+            l21 = _bmm(a21, xkk, transpose_y=True) / dpan[:, None, :]
+            l_ref[:, r1:, r0:r1] = l21
+            # trailing update: A22 -= (L21 d) L21^T
             x_ref[:, r1:, r1:] = x_ref[:, r1:, r1:] - _bmm(
-                lb * dpan, lb, transpose_y=True)
+                l21 * dpan[:, None, :], l21, transpose_y=True)
 
-    # ---- phase 2: X = L^{-1} (unit lower) ----
+    # ---- phase 2: X = L^{-1} (unit lower), blocked forward subst ----
+    g = x_ref.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (g, a, a), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (g, a, a), 2)
     x_ref[...] = jnp.where(rows == cols, 1.0, 0.0).astype(x_ref.dtype)
     for k in range(n_panels):
         r0 = k * panel
         r1 = r0 + panel
-        # invert the unit-lower diagonal block with a fori_loop
-        lsub = jax.lax.broadcasted_iota(jnp.int32, (g, panel, panel), 1)
-
-        lkk = l_ref[:, r0:r1, r0:r1]                        # [G,p,p]
-        llane = jax.lax.broadcasted_iota(jnp.int32, lkk.shape, 2)
-
-        def inv_body(j, xkk):
-            lcol = jnp.sum(lkk * (llane == j), axis=2, keepdims=True)
-            lcol = jnp.where(lsub[:, :, :1] > j, lcol, 0.0)  # [G,p,1]
-            xrow = jnp.sum(xkk * (lsub[:, :, :1] == j), axis=1,
-                           keepdims=True)                   # [G,1,p]
-            return xkk - lcol * xrow
-
-        eye = jnp.where(
-            lsub == jax.lax.broadcasted_iota(jnp.int32, (g, panel, panel), 2),
-            1.0, 0.0).astype(x_ref.dtype)
-        xkk = jax.lax.fori_loop(0, panel, inv_body, eye)
-        x_ref[:, r0:r1, :r1] = jnp.concatenate(
-            [_bmm(xkk, x_ref[:, r0:r1, :r0]), xkk], axis=2) \
-            if r0 > 0 else xkk
-        # propagate to rows below:  X[r1:, :r1] -= L[r1:, r0:r1] X[r0:r1, :r1]
+        xkk = xkk_ref[:, :, r0:r1]
+        if r0 > 0:
+            x_ref[:, r0:r1, :r1] = jnp.concatenate(
+                [_bmm(xkk, x_ref[:, r0:r1, :r0]), xkk], axis=2)
+        else:
+            x_ref[:, r0:r1, :r1] = xkk
+        # propagate to rows below: X[r1:, :r1] -= L[r1:, r0:r1] X[r0:r1, :r1]
         if r1 < a:
             x_ref[:, r1:, :r1] = x_ref[:, r1:, :r1] - _bmm(
                 l_ref[:, r1:, r0:r1], x_ref[:, r0:r1, :r1])
 
 
 def _pick_group(batch: int, a: int) -> int:
-    """Largest divisor of `batch` keeping the VMEM buffers comfortable."""
-    budget = 24 * 1024 * 1024
-    g = max(1, budget // (4 * a * a * 4))
+    """Largest divisor of `batch` keeping each [G,a,a] buffer <= ~16MB."""
+    budget = 16 * 1024 * 1024
+    g = max(1, budget // (a * a * 4))
     g = min(g, batch)
     while batch % g:
         g -= 1
@@ -149,7 +139,8 @@ def _ldl_call(A, interpret=False):
     B, a, _ = A.shape
     g = _pick_group(B, a)
     grid = B // g
-    kern = functools.partial(_ldl_kernel, a=a, panel=min(PANEL, a))
+    panel = min(PANEL, a)
+    kern = functools.partial(_ldl_kernel, a=a, panel=panel)
     X, d = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -161,7 +152,8 @@ def _ldl_call(A, interpret=False):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((B, a, a), A.dtype),
                    jax.ShapeDtypeStruct((B, a), A.dtype)],
-        scratch_shapes=[pltpu.VMEM((g, a, a), A.dtype)],
+        scratch_shapes=[pltpu.VMEM((g, a, a), A.dtype),
+                        pltpu.VMEM((g, panel, a), A.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
