@@ -179,13 +179,51 @@ class HierArrowBackend(ArrowBackend):
     factorization/solve pipeline changes."""
 
     def __init__(self, lp: ArrowheadLP, meta: HierMeta,
-                 factor_dtype=jnp.float64, axis: Optional[str] = None):
-        assert axis is None, "hierarchical backend: GSPMD distribution only"
+                 factor_dtype=jnp.float64, axis: Optional[str] = None,
+                 n_shards: int = 1):
         # HierFactors carries no explicit root inverses yet: force the
         # triangular root-solve path regardless of factor dtype
         super().__init__(lp, factor_dtype=factor_dtype, axis=axis,
                          explicit_inverse=False)
         self.meta = meta
+        # distributed mode (shard_map): whole groups live on one device —
+        # the group-level Schur stage needs NO collectives (the reference's
+        # sub-tree locality, sLinsysRootAugHierInner); only the global
+        # border contributions are psum'd.  `n_shards` = mesh axis size
+        # (static; lp arrays inside shard_map are the per-device shards).
+        self.n_shards = n_shards if axis is not None else 1
+        if meta.n_groups % self.n_shards:
+            raise ValueError(
+                f"n_groups={meta.n_groups} not divisible by "
+                f"n_shards={self.n_shards}: groups must not straddle devices")
+        self.G_loc = meta.n_groups // self.n_shards
+
+    def _dev(self):
+        """Device index along the mesh axis (0 when undistributed)."""
+        if self.axis is None:
+            return 0
+        return jax.lax.axis_index(self.axis)
+
+    def _slice_groups(self, arr):
+        """Slice the local groups out of a replicated [G_total, ...] array."""
+        if self.axis is None:
+            return arr
+        z = jnp.zeros((), jnp.int32)
+        start = (jnp.asarray(self._dev() * self.G_loc, jnp.int32),) \
+            + (z,) * (arr.ndim - 1)
+        return jax.lax.dynamic_slice(arr, start,
+                                     (self.G_loc,) + arr.shape[1:])
+
+    def _scatter_groups(self, arr_loc, g_total):
+        """Local [G_loc, ...] -> replicated [G_total, ...] via psum."""
+        if self.axis is None:
+            return arr_loc
+        full = jnp.zeros((g_total,) + arr_loc.shape[1:], arr_loc.dtype)
+        z = jnp.zeros((), jnp.int32)
+        start = (jnp.asarray(self._dev() * self.G_loc, jnp.int32),) \
+            + (z,) * (arr_loc.ndim - 1)
+        full = jax.lax.dynamic_update_slice(full, arr_loc, start)
+        return jax.lax.psum(full, self.axis)
 
     # -- layout helpers ------------------------------------------------
     def _split_link(self, vec, which: str):
@@ -208,6 +246,7 @@ class HierArrowBackend(ArrowBackend):
         m = self.meta
         fd = self.factor_dtype
         G, Ng = m.n_groups, m.group_size
+        gl = self.G_loc
         n0, m0E, m0I = lp.n0, lp.m0E, lp.m0I
         mE, mI, n = lp.mE, lp.mI, lp.n
         a = mE + mI
@@ -229,26 +268,25 @@ class HierArrowBackend(ArrowBackend):
         L = jnp.linalg.cholesky(Neq)
 
         # split permuted link strips into per-group locals + globals:
-        # reshape the block axis into (G, Ng) and the local-link rows into
-        # (G, mElL); local rows of group g only touch blocks of group g, so
-        # take the diagonal (g, g) pairing
-        F_l = lp.F[:, :G * m.mElL, :].reshape(G, Ng, G, m.mElL, n)
-        F_l = F_l[jnp.arange(G), :, jnp.arange(G)]               # [G,Ng,mElL,n]
-        G_l = lp.G[:, :G * m.mIlL, :].reshape(G, Ng, G, m.mIlL, n)
-        G_l = G_l[jnp.arange(G), :, jnp.arange(G)]               # [G,Ng,mIlL,n]
+        # reshape the block axis into (G_loc, Ng) and the local-link rows
+        # into (G, mElL); local rows of a group only touch that group's
+        # blocks, so take the (offset) diagonal pairing
+        F_l, G_l = self._local_strips()          # [G_loc, Ng, m_local, n]
         F_g = lp.F[:, G * m.mElL:, :]                            # [N,mElG,n]
         G_g = lp.G[:, G * m.mIlL:, :]
 
         OmlL_inv, OmlG_inv = self._split_link(Ominv.link, "I")
-        OmlL = 1.0 / OmlL_inv                                    # [G, mIlL]
+        OmlL = 1.0 / OmlL_inv                    # [G, mIlL] (replicated)
         OmlG = 1.0 / OmlG_inv
+        OmlL_loc = self._slice_groups(OmlL)      # [G_loc, mIlL]
 
-        # ---- level 1: group Schur over local links ----
-        # R_in rows x_i: [Floc' Gloc']  [G, Ng, n, mL]
+        # ---- level 1: group Schur over local links (collective-free:
+        # every group lives entirely on this device) ----
+        # R_in rows x_i: [Floc' Gloc']  [G_loc, Ng, n, mL]
         RinX = jnp.concatenate([jnp.swapaxes(F_l, 2, 3),
                                 jnp.swapaxes(G_l, 2, 3)], axis=3)
         # K_b^{-1} R_in via condensation (R_in has zero (y,z) rows):
-        flatRinX = RinX.reshape(G * Ng, n, mL)
+        flatRinX = RinX.reshape(gl * Ng, n, mL)
         EiR = flatRinX * Einv[:, :, None]
         rhsW = jnp.einsum("iam,imS->iaS", M.astype(fd), EiR.astype(fd))
         Wm = _bchol_solve(L, rhsW)                               # [N, a, mL]
@@ -258,12 +296,12 @@ class HierArrowBackend(ArrowBackend):
 
         # local Schur: Sloc = -Floc_diag - R_in' K_b^{-1} R_in
         RtW = jnp.einsum("imS,imT->iST", flatRinX.astype(fd), Wx)  # [N,mL,mL]
-        RtW = RtW.reshape(G, Ng, mL, mL).sum(axis=1)             # [G, mL, mL]
+        RtW = RtW.reshape(gl, Ng, mL, mL).sum(axis=1)          # [G_loc,mL,mL]
         FlocD = jnp.concatenate([
-            jnp.broadcast_to(jnp.asarray(delta_d, dt), (G, m.mElL)),
-            OmlL + delta_d], axis=1)                             # [G, mL]
+            jnp.broadcast_to(jnp.asarray(delta_d, dt), (gl, m.mElL)),
+            OmlL_loc + delta_d], axis=1)                         # [G_loc, mL]
         negSloc = jax.vmap(jnp.diag)(FlocD.astype(fd)) + RtW
-        Lloc = jnp.linalg.cholesky(negSloc)                      # [G, mL, mL]
+        Lloc = jnp.linalg.cholesky(negSloc)                  # [G_loc, mL, mL]
 
         # ---- outer border W_out = K_inner^{-1} R_out ----
         # R_out block rows: x_i: [0 | Fg' Gg'], y_i: [A 0], z_i: [C 0]
@@ -275,14 +313,16 @@ class HierArrowBackend(ArrowBackend):
             jnp.concatenate([lp.C, jnp.zeros((lp.N, mI, nSo - n0), dt)], 2)],
             axis=1)                                              # [N, a, nSo]
         # R_out local-link rows: yl_loc: [F0loc | 0], zl_loc: [G0loc | 0]
-        F0loc = lp.F0[:G * m.mElL].reshape(G, m.mElL, n0)
-        G0loc = lp.G0[:G * m.mIlL].reshape(G, m.mIlL, n0)
+        F0loc = self._slice_groups(
+            lp.F0[:G * m.mElL].reshape(G, m.mElL, n0))
+        G0loc = self._slice_groups(
+            lp.G0[:G * m.mIlL].reshape(G, m.mIlL, n0))
         RoL = jnp.concatenate([
             jnp.concatenate([F0loc,
-                             jnp.zeros((G, m.mElL, nSo - n0), dt)], 2),
+                             jnp.zeros((gl, m.mElL, nSo - n0), dt)], 2),
             jnp.concatenate([G0loc,
-                             jnp.zeros((G, m.mIlL, nSo - n0), dt)], 2)],
-            axis=1)                                              # [G, mL, nSo]
+                             jnp.zeros((gl, m.mIlL, nSo - n0), dt)], 2)],
+            axis=1)                                          # [G_loc,mL,nSo]
 
         # block-level K_b^{-1} R_out (condensed, multi-RHS)
         EiRo = RoX * Einv[:, :, None]
@@ -295,7 +335,7 @@ class HierArrowBackend(ArrowBackend):
 
         # local-link correction: w = -negSloc^{-1} (RoL - R_in' gB_x)
         RtG = jnp.einsum("imS,imT->iST", flatRinX.astype(fd), WxO)
-        RtG = RtG.reshape(G, Ng, mL, nSo).sum(axis=1)            # [G, mL, nSo]
+        RtG = RtG.reshape(gl, Ng, mL, nSo).sum(axis=1)       # [G_loc,mL,nSo]
         rhsL = RoL.astype(fd) - RtG
         WoutL = -_bchol_solve(Lloc, rhsL)                        # [G, mL, nSo]
         # u = gB - Win*w  (per block, group-shared w)
@@ -308,7 +348,9 @@ class HierArrowBackend(ArrowBackend):
                    + jnp.einsum("iaS,iaT->ST", RoM.astype(fd),
                                 WoutB[:, n:, :])
                    + jnp.einsum("gmS,gmT->ST", RoL.astype(fd), WoutL))
-        contrib = contrib.astype(dt)
+        # the SC allreduce (reference chunked MPI_Allreduce,
+        # DistributedRootLinearSystem.C:860-975)
+        contrib = self._psum(contrib).astype(dt)
 
         # ---- level 2: root over (x0, y0, z0, ylG, zlG) ----
         Einv0 = 1.0 / (Dx.first + delta_p)
@@ -346,10 +388,13 @@ class HierArrowBackend(ArrowBackend):
             delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d, dt))
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
-        return (jnp.all(jnp.isfinite(fac.L))
-                & jnp.all(jnp.isfinite(fac.Lloc))
-                & jnp.all(jnp.isfinite(fac.chol1))
-                & jnp.all(jnp.isfinite(fac.chol2)))
+        ok = (jnp.all(jnp.isfinite(fac.L))
+              & jnp.all(jnp.isfinite(fac.Lloc))
+              & jnp.all(jnp.isfinite(fac.chol1))
+              & jnp.all(jnp.isfinite(fac.chol2)))
+        if self.axis is not None:
+            ok = jax.lax.pmin(ok.astype(jnp.int32), self.axis) > 0
+        return ok
 
     # ------------------------------------------------------------------
     def solve_reduced(self, fac: HierFactors, rhs: ReducedRhs,
@@ -426,8 +471,12 @@ class HierArrowBackend(ArrowBackend):
             return (-ex0, -ex, -eq0, -em, -el)
 
         def dot(a, c):
-            return sum(jnp.vdot(x, y) for x, y in
-                       zip(jax.tree.leaves(a), jax.tree.leaves(c)))
+            ax0, axb, ad0, agm, awl = a
+            cx0, cxb, cd0, cgm, cwl = c
+            rep = (jnp.vdot(ax0, cx0) + jnp.vdot(ad0, cd0)
+                   + jnp.vdot(awl, cwl))
+            shard = jnp.vdot(axb, cxb) + jnp.vdot(agm, cgm)
+            return rep + self._psum(shard)
 
         u, stats = preconditioned_bicgstab(b, precond, applyK, dot,
                                            max_iters, tol)
@@ -449,6 +498,7 @@ class HierArrowBackend(ArrowBackend):
         lp = self.lp
         m = self.meta
         G, Ng = m.n_groups, m.group_size
+        gl = self.G_loc
         n0, m0E, m0I = lp.n0, lp.m0E, lp.m0I
         mE, n = lp.mE, lp.n
         mL = m.mElL + m.mIlL
@@ -462,41 +512,48 @@ class HierArrowBackend(ArrowBackend):
         gx = fac.Einv * (rho_x - jnp.einsum("iam,ia->im", M, gm))
         gk = jnp.concatenate([gx, gm], axis=1)                   # [N, k]
 
-        # level 1: local-link solve per group
+        # level 1: local-link solve per LOCAL group (no collectives)
         # r_l - R_in' g_x ; R_in' has only x rows
         F_l, G_l = self._local_strips()
         RtG = (jnp.einsum("gimn,gin->gm", F_l,
-                          gx.reshape(G, Ng, n))
-               if m.mElL else jnp.zeros((G, 0), gx.dtype))
+                          gx.reshape(gl, Ng, n))
+               if m.mElL else jnp.zeros((gl, 0), gx.dtype))
         RtG2 = (jnp.einsum("gimn,gin->gm", G_l,
-                           gx.reshape(G, Ng, n))
-                if m.mIlL else jnp.zeros((G, 0), gx.dtype))
-        rl = rho_lnk - jnp.concatenate([RtG, RtG2], axis=1)
+                           gx.reshape(gl, Ng, n))
+                if m.mIlL else jnp.zeros((gl, 0), gx.dtype))
+        rl = self._slice_groups(rho_lnk) - jnp.concatenate(
+            [RtG, RtG2], axis=1)                                 # [G_loc,mL]
         wl = -_bchol_solve(fac.Lloc, rl[..., None].astype(fd))[..., 0]
-        wl = wl.astype(gx.dtype)                                 # [G, mL]
+        wl = wl.astype(gx.dtype)                                 # [G_loc,mL]
         # back-substitute local links into blocks
-        wl_pb = jnp.repeat(wl, Ng, axis=0)                       # [N, mL]
+        wl_pb = jnp.repeat(wl, Ng, axis=0)                       # [N_loc,mL]
         gk = gk - jnp.einsum("ikS,iS->ik", fac.Win, wl_pb)
         gx, gm = gk[:, :n], gk[:, n:]
 
-        # accumulate outer border products
+        # accumulate outer border products (psum = linking RHS allreduce,
+        # sLinsysRootAug.C:340-341)
         # R_out' g = [A' g_y + C' g_z (+ F0loc' wl etc for x0) | Fg g_x |...]
         acc_x0 = (jnp.einsum("imk,im->k", lp.A, gm[:, :mE])
                   + jnp.einsum("imk,im->k", lp.C, gm[:, mE:]))
-        F0loc = lp.F0[:G * m.mElL].reshape(G, m.mElL, n0)
-        G0loc = lp.G0[:G * m.mIlL].reshape(G, m.mIlL, n0)
+        F0loc = self._slice_groups(
+            lp.F0[:G * m.mElL].reshape(G, m.mElL, n0))
+        G0loc = self._slice_groups(
+            lp.G0[:G * m.mIlL].reshape(G, m.mIlL, n0))
         acc_x0 = acc_x0 + jnp.einsum("gmk,gm->k", F0loc, wl[:, :m.mElL]) \
             + jnp.einsum("gmk,gm->k", G0loc, wl[:, m.mElL:])
         F_g = lp.F[:, G * m.mElL:, :]
         G_g = lp.G[:, G * m.mIlL:, :]
         acc_yl = jnp.einsum("ilm,im->l", F_g, gx)
         acc_zl = jnp.einsum("ilm,im->l", G_g, gx)
+        acc_x0 = self._psum(acc_x0)
+        acc_yl = self._psum(acc_yl)
+        acc_zl = self._psum(acc_zl)
 
         p = p0 - acc_x0
         q = q0.at[m0E + m0I:m0E + m0I + m.mElG].add(-acc_yl)
         q = q.at[m0E + m0I + m.mElG:].add(-acc_zl)
 
-        # level 2: root
+        # level 2: root (replicated)
         a, d = self._root_solve(fac, p, q)
 
         # back-substitution: s0out = [a, ylG, zlG]
@@ -505,17 +562,26 @@ class HierArrowBackend(ArrowBackend):
         gk = jnp.concatenate([gx, gm], axis=1)
         gk = gk - jnp.einsum("ikS,S->ik", fac.WoutB, s0)
         wl = wl - jnp.einsum("gmS,S->gm", fac.WoutL, s0)
+        # local-link duals back to the replicated layout
+        wl = self._scatter_groups(wl, G)
         return a, gk[:, :n], d, gk[:, n:], wl
 
     def _local_strips(self):
-        """Per-group local link strips, shape [G, Ng, m_local, n]."""
+        """Per-LOCAL-group local link strips, shape [G_loc, Ng, m_local, n].
+
+        The link-row axis still spans all G_total groups (link data is
+        replicated); the block axis holds only this device's G_loc groups,
+        so the diagonal pairing is offset by dev * G_loc."""
         lp = self.lp
         m = self.meta
         G, Ng, n = m.n_groups, m.group_size, lp.n
-        F_l = lp.F[:, :G * m.mElL, :].reshape(G, Ng, G, m.mElL, n)
-        F_l = F_l[jnp.arange(G), :, jnp.arange(G)]
-        G_l = lp.G[:, :G * m.mIlL, :].reshape(G, Ng, G, m.mIlL, n)
-        G_l = G_l[jnp.arange(G), :, jnp.arange(G)]
+        gl = self.G_loc
+        off = self._dev() * gl
+        gidx = jnp.arange(gl)
+        F_l = lp.F[:, :G * m.mElL, :].reshape(gl, Ng, G, m.mElL, n)
+        F_l = F_l[gidx, :, off + gidx]
+        G_l = lp.G[:, :G * m.mIlL, :].reshape(gl, Ng, G, m.mIlL, n)
+        G_l = G_l[gidx, :, off + gidx]
         return F_l, G_l
 
     def _residual_hier(self, fac: HierFactors, p0, q0, rho_x, rho_m,

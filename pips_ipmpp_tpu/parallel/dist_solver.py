@@ -31,6 +31,8 @@ from pips_ipmpp_tpu.ipm import formulation as F
 from pips_ipmpp_tpu.ipm.mehrotra import StepStats
 from pips_ipmpp_tpu.ipm.solver import IPMSolver, _eval_fn, _init_fn, _step_fn
 from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.hier_backend import (HierArrowBackend,
+                                                build_hierarchical_lp)
 from pips_ipmpp_tpu.parallel.mesh import (BLOCK_AXIS, lp_pspecs,
                                           shard_arrowhead_lp, space_pspec)
 
@@ -43,35 +45,63 @@ class DistributedIPMSolver:
     """IPM over a 1-D mesh with the block batch sharded."""
 
     def __init__(self, mesh: Mesh, opts: Optional[Options] = None,
-                 mode: str = "shard_map", factor_dtype=jnp.float64):
+                 mode: str = "shard_map", factor_dtype=jnp.float64,
+                 hier_groups: Optional[int] = None):
+        """`hier_groups`: use the hierarchical (two-level Schur) backend
+        with that many block groups — groups are sharded with the blocks,
+        so `hier_groups` must be a multiple of the mesh size (the
+        reference's sub-tree split, DistributedTreeCallbacks::splitTree,
+        DistributedTreeCallbacks.C:1123)."""
         assert mode in ("gspmd", "shard_map")
         self.mesh = mesh
         self.mode = mode
         self.opts = opts or Options()
         self.factor_dtype = factor_dtype
+        self.hier_groups = hier_groups
+        self._hier_meta = None
         if mode == "gspmd":
-            ctor = partial(ArrowBackend, factor_dtype=factor_dtype)
-            self._inner = IPMSolver(ctor, self.opts)
+            if hier_groups is None:
+                ctor = partial(ArrowBackend, factor_dtype=factor_dtype)
+                self._inner = IPMSolver(ctor, self.opts)
+            else:
+                self._inner = None   # ctor needs the meta; built in solve()
         else:
             self._inner = None
 
     # ------------------------------------------------------------------
     def solve(self, lp, callback=None):
+        if self.hier_groups is not None:
+            lp, self._hier_meta = build_hierarchical_lp(lp, self.hier_groups)
+            if self._inner is None and self.mode == "gspmd":
+                ctor = partial(HierArrowBackend, meta=self._hier_meta,
+                               factor_dtype=self.factor_dtype)
+                self._inner = IPMSolver(ctor, self.opts)
         lp = shard_arrowhead_lp(lp, self.mesh)
         if self.mode == "gspmd":
             return self._inner.solve(lp, callback=callback)
         return self._solve_shard_map(lp, callback)
 
     # ------------------------------------------------------------------
+    def _ctor(self, distributed: bool):
+        if self.hier_groups is not None:
+            kw = dict(meta=self._hier_meta, factor_dtype=self.factor_dtype)
+            if distributed:
+                kw.update(axis=BLOCK_AXIS, n_shards=self.mesh.size)
+            return partial(HierArrowBackend, **kw)
+        kw = dict(factor_dtype=self.factor_dtype)
+        if distributed:
+            kw.update(axis=BLOCK_AXIS)
+        return partial(ArrowBackend, **kw)
+
+    # ------------------------------------------------------------------
     def _solve_shard_map(self, lp, callback):
         mesh, opts = self.mesh, self.opts
-        ctor = partial(ArrowBackend, factor_dtype=self.factor_dtype,
-                       axis=BLOCK_AXIS)
+        ctor = self._ctor(distributed=True)
         lp_specs = lp_pspecs(lp)
 
         # iterate STRUCTURE from the single-device ctor (eval_shape only —
         # psum-free); specs depend only on the tree structure
-        ctor_eval = partial(ArrowBackend, factor_dtype=self.factor_dtype)
+        ctor_eval = self._ctor(distributed=False)
         it_shape = jax.eval_shape(partial(_init_fn, ctor_eval, opts), lp)[0]
         it_specs = space_pspec(it_shape)
         stats_specs = StepStats(mu=P(), sigma=P(), alpha_primal=P(),

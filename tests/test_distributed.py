@@ -67,3 +67,46 @@ def test_pad_num_blocks_preserves_solution(mesh8):
     dist = DistributedIPMSolver(mesh8, Options(), mode="shard_map").solve(lp8)
     assert dist.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(dist.objective - ref.objective) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def hier_lp16():
+    """16 blocks, 8 groups of 2, with group-local + global linking rows
+    (the reference's hierarchical regime, splitTree sub-roots)."""
+    from pips_ipmpp_tpu.io.synthetic import random_hier_arrowhead_lp
+    return random_hier_arrowhead_lp(7, N=16, n_groups=8)
+
+
+@pytest.mark.parametrize("mode", ["gspmd", "shard_map"])
+def test_distributed_hierarchical_matches_single_device(mesh8, hier_lp16,
+                                                        mode):
+    """Converged HIERARCHICAL solve on the 8-device mesh — groups sharded
+    with the blocks, group-local Schur collective-free, only the global
+    border psum'd (round-1 verdict item 3)."""
+    from pips_ipmpp_tpu.linalg.hier_backend import (HierArrowBackend,
+                                                    build_hierarchical_lp)
+    hlp, meta = build_hierarchical_lp(hier_lp16, 8)
+    ref = IPMSolver(lambda l: HierArrowBackend(l, meta),
+                    Options()).solve(hlp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    result = DistributedIPMSolver(mesh8, Options(), mode=mode,
+                                  hier_groups=8).solve(hier_lp16)
+    assert result.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
+        f"{mode}: mu={result.mu} resid={result.residual_norm}"
+    assert abs(result.objective - ref.objective) < 1e-6 * max(
+        1.0, abs(ref.objective))
+    assert abs(result.iterations - ref.iterations) <= 2
+
+
+def test_distributed_hier_group_granularity(mesh8):
+    """4 groups on 8 devices is rejected (groups must not straddle
+    devices), 16 groups on 8 devices works (2 groups per device)."""
+    from pips_ipmpp_tpu.io.synthetic import random_hier_arrowhead_lp
+    lp = random_hier_arrowhead_lp(9, N=16, n_groups=16)
+    with pytest.raises(Exception):
+        DistributedIPMSolver(mesh8, Options(), mode="shard_map",
+                             hier_groups=4).solve(lp)
+    r = DistributedIPMSolver(mesh8, Options(), mode="shard_map",
+                             hier_groups=16).solve(lp)
+    assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION
