@@ -47,13 +47,42 @@ class Options:
     step_mode: StepMode = StepMode.PRIMAL_DUAL
     max_gondzio_correctors: int = 3        # GONDZIO_MAX_CORRECTORS
     n_linesearch_points: int = 8           # weighted PC line search resolution
-    steplength_factor: float = 0.99995     # gamma_f in Mehrotra heuristic
+    steplength_factor: float = 0.99995     # final step damping (reference
+                                           # steplength_factor, IPM.hpp:104)
+    gamma_f: float = 0.99                  # blocking-pair safeguard floor
+    # (reference gamma_f, InteriorPointMethod.hpp:101); gamma_a = 1/(1-gf)
+    # divides mu(alpha_max) in the Mehrotra step-length target
+
+    @property
+    def gamma_a(self) -> float:
+        return 1.0 / (1.0 - self.gamma_f)
     beta_min: float = 0.1                  # Gondzio target box [σμ βmin, σμ βmax]
     beta_max: float = 10.0
     acceptance_tolerance: float = 0.01     # corrector acceptance fraction
+    step_factor0: float = 0.3              # Gondzio trial-step enlargement:
+    step_factor1: float = 1.5              # alpha_t = min(1, f1*alpha + f0)
+                                           # (InteriorPointMethod.cpp:29,253)
     centering_retry: bool = True           # pure-centering retry on tiny
                                            # steps (numerical-troubles path)
     small_step_threshold: float = 0.01     # combined-step trouble trigger
+
+    # ---- numerical-troubles machinery (InteriorPointMethod.cpp:528-669) --
+    # small-complementarity-pair correctors: when a normal Gondzio corrector
+    # is rejected with alpha below max_alpha_small_correctors (and the IPM
+    # iteration is late enough), retry with the upper projection bound at
+    # +inf so only tiny pairs are pushed (GONDZIO_STOCH_ADDITIONAL_
+    # CORRECTORS_SMALL_VARS, compute_gondzio_corrector :446-457)
+    small_pair_correctors: bool = True
+    max_additional_correctors: int = 1     # GONDZIO_STOCH_ADDITIONAL_..._MAX
+    first_iter_small_correctors: int = 10  # GONDZIO_STOCH_FIRST_ITER_...
+    max_alpha_small_correctors: float = 0.95
+    # probing: damp the accepted step so residual norm and mu grow at most
+    # 10x when the step looks troubled (compute_probing_factor :528-627)
+    probing: bool = True
+    probing_trigger: float = 0.05          # min(alpha) below this => probe
+    # iteration-adaptive outer-BiCGStab tolerance (:655-669)
+    dynamic_bicg_tol: bool = True
+    outer_bicg_tol: float = 1e-10
 
     # ---- linear algebra ----
     factor_dtype: str = "auto"             # "float32" | "float64" | "auto"

@@ -185,12 +185,52 @@ class PIPSIPMppTPUInterface:
         return np.concatenate([np.asarray(x.first),
                                np.asarray(x.blocks).reshape(-1)])
 
+    # ------------------------------------------------------------------
+    # original-space matvecs (numpy, off the hot path — used by the
+    # cons-value/residual gathers the way the reference combines gathered
+    # residuals with problem data, PIPSIPMppInterface.cpp:337-384)
+    def _split_x(self, xflat: np.ndarray):
+        lp = self.lp
+        return xflat[:lp.n0], xflat[lp.n0:].reshape(lp.N, lp.n)
+
+    def _arrow_Ax(self, x0, xN) -> np.ndarray:
+        lp = self.lp
+        A0, A, B = (np.asarray(lp.A0, np.float64), np.asarray(lp.A, np.float64),
+                    np.asarray(lp.B, np.float64))
+        F0, F = np.asarray(lp.F0, np.float64), np.asarray(lp.F, np.float64)
+        r0 = A0 @ x0
+        rN = A @ x0 + np.einsum("nij,nj->ni", B, xN)
+        rl = F0 @ x0 + np.einsum("nij,nj->i", F, xN)
+        return np.concatenate([r0, rN.reshape(-1), rl])
+
+    def _arrow_Cx(self, x0, xN) -> np.ndarray:
+        lp = self.lp
+        C0, C, D = (np.asarray(lp.C0, np.float64), np.asarray(lp.C, np.float64),
+                    np.asarray(lp.D, np.float64))
+        G0, G = np.asarray(lp.G0, np.float64), np.asarray(lp.G, np.float64)
+        r0 = C0 @ x0
+        rN = C @ x0 + np.einsum("nij,nj->ni", D, xN)
+        rl = G0 @ x0 + np.einsum("nij,nj->i", G, xN)
+        return np.concatenate([r0, rN.reshape(-1), rl])
+
     def gatherEqualityConsValues(self) -> np.ndarray:
+        """Values A x of the equality rows in the ORIGINAL space (reference
+        gatherEqualityConsValues = gathered eq residuals + rhs,
+        PIPSIPMppInterface.cpp:337-357)."""
         self._require_result()
-        it = self.result.iterate
+        x = self.gatherPrimalSolution()
         if isinstance(self.lp, DenseLP):
-            return np.asarray(self.lp.A @ it.x)
-        raise NotImplementedError
+            return np.asarray(self.lp.A, np.float64) @ x
+        return self._arrow_Ax(*self._split_x(x))
+
+    def gatherInequalityConsValues(self) -> np.ndarray:
+        """Values C x of the inequality rows in the ORIGINAL space
+        (reference :360-384, gathered ineq residuals + slacks)."""
+        self._require_result()
+        x = self.gatherPrimalSolution()
+        if isinstance(self.lp, DenseLP):
+            return np.asarray(self.lp.C, np.float64) @ x
+        return self._arrow_Cx(*self._split_x(x))
 
     def _unpermute_link(self, vec: np.ndarray, which: str) -> np.ndarray:
         """Map hierarchical-layout link vectors back to user row order."""
@@ -241,3 +281,296 @@ class PIPSIPMppTPUInterface:
             return np.asarray(z)
         rC = self._scaler.rC if self._scaler is not None else None
         return self._gather_row_dual(z, "I", rC)
+
+    # ------------------------------------------------------------------
+    # slack / bound-gap gathers (reference gatherSlacks*,
+    # PIPSIPMppInterface.cpp:386-400).  Without presolve these return the
+    # iterate's gap vectors unscaled; with presolve the gaps are
+    # reconstructed in the original space from the postsolved solution
+    # (exact at convergence: the rv/rw/rt/ru residuals are ~0, reference
+    # Residuals.h:84-87).
+    def _gather_x_gap(self, vec) -> np.ndarray:
+        """x-space gap (v or w): unscale = multiply by the column factors
+        (x' = x/s => gaps scale like x)."""
+        if isinstance(self.lp, DenseLP):
+            v = np.asarray(vec, np.float64)
+            return v * np.asarray(self._scaler.s) if self._scaler else v
+        first = np.asarray(vec.first, np.float64)
+        blocks = np.asarray(vec.blocks, np.float64)
+        if self._scaler is not None:
+            first = first * np.asarray(self._scaler.s.first)
+            blocks = blocks * np.asarray(self._scaler.s.blocks)
+        return np.concatenate([first, blocks.reshape(-1)])
+
+    def _gather_row_gap(self, vec, which: str) -> np.ndarray:
+        """ineq-row-space gap (t or u): unscale = divide by the row factors
+        (slack' = rC * slack)."""
+        if isinstance(self.lp, DenseLP):
+            v = np.asarray(vec, np.float64)
+            return v / np.asarray(self._scaler.rC) if self._scaler else v
+        first = np.asarray(vec.first, np.float64)
+        blocks = np.asarray(vec.blocks, np.float64)
+        link = self._unpermute_link(np.asarray(vec.link, np.float64), which)
+        if self._scaler is not None:
+            rc = self._scaler.rC
+            first = first / np.asarray(rc.first)
+            blocks = blocks / np.asarray(rc.blocks)
+            link = link / self._unpermute_link(
+                np.asarray(rc.link, np.float64), which)
+        return np.concatenate([first, blocks.reshape(-1), link])
+
+    def _gather_bound_dual(self, vec) -> np.ndarray:
+        """x-space bound dual (gamma or phi): unscale = divide by the
+        column factors."""
+        if isinstance(self.lp, DenseLP):
+            v = np.asarray(vec, np.float64)
+            return v / np.asarray(self._scaler.s) if self._scaler else v
+        first = np.asarray(vec.first, np.float64)
+        blocks = np.asarray(vec.blocks, np.float64)
+        if self._scaler is not None:
+            first = first / np.asarray(self._scaler.s.first)
+            blocks = blocks / np.asarray(self._scaler.s.blocks)
+        return np.concatenate([first, blocks.reshape(-1)])
+
+    def _orig_var_bounds(self):
+        """(ixlow, xlow, ixupp, xupp) flattened in the original space."""
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            return (np.asarray(lp.ixlow, np.float64),
+                    np.asarray(lp.xlow, np.float64),
+                    np.asarray(lp.ixupp, np.float64),
+                    np.asarray(lp.xupp, np.float64))
+        cat = lambda a, b: np.concatenate(
+            [np.asarray(a, np.float64), np.asarray(b, np.float64).reshape(-1)])
+        return (cat(lp.ixlow0, lp.ixlowN), cat(lp.xlow0, lp.xlowN),
+                cat(lp.ixupp0, lp.ixuppN), cat(lp.xupp0, lp.xuppN))
+
+    def _orig_row_bounds(self):
+        """(iclow, clow, icupp, cupp) of the ineq rows, flattened."""
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            return (np.asarray(lp.iclow, np.float64),
+                    np.asarray(lp.clow, np.float64),
+                    np.asarray(lp.icupp, np.float64),
+                    np.asarray(lp.cupp, np.float64))
+        cat3 = lambda a, b, c: np.concatenate(
+            [np.asarray(a, np.float64), np.asarray(b, np.float64).reshape(-1),
+             np.asarray(c, np.float64)])
+        return (cat3(lp.iclow0, lp.iclowN, lp.iclowl),
+                cat3(lp.clow0, lp.clowN, lp.clowl),
+                cat3(lp.icupp0, lp.icuppN, lp.icuppl),
+                cat3(lp.cupp0, lp.cuppN, lp.cuppl))
+
+    def gatherSlacksVarsLow(self) -> np.ndarray:
+        """v = x - xlow on lower-bounded variables (reference :398)."""
+        self._require_result()
+        if self._presolve_log is not None:
+            x = self.gatherPrimalSolution()
+            il, lo, _, _ = self._orig_var_bounds()
+            return il * (x - lo)
+        return self._gather_x_gap(self.result.iterate.v)
+
+    def gatherSlacksVarsUp(self) -> np.ndarray:
+        """w = xupp - x on upper-bounded variables (reference :394)."""
+        self._require_result()
+        if self._presolve_log is not None:
+            x = self.gatherPrimalSolution()
+            _, _, iu, up = self._orig_var_bounds()
+            return iu * (up - x)
+        return self._gather_x_gap(self.result.iterate.w)
+
+    def gatherSlacksInequalityLow(self) -> np.ndarray:
+        """t = s - clow on lower-bounded ineq rows (reference :390)."""
+        self._require_result()
+        if self._presolve_log is not None:
+            cx = self.gatherInequalityConsValues()
+            il, lo, _, _ = self._orig_row_bounds()
+            return il * (cx - lo)
+        return self._gather_row_gap(self.result.iterate.t, "I")
+
+    def gatherSlacksInequalityUp(self) -> np.ndarray:
+        """u = cupp - s on upper-bounded ineq rows (reference :386)."""
+        self._require_result()
+        if self._presolve_log is not None:
+            cx = self.gatherInequalityConsValues()
+            _, _, iu, up = self._orig_row_bounds()
+            return iu * (up - cx)
+        return self._gather_row_gap(self.result.iterate.u, "I")
+
+    # ------------------------------------------------------------------
+    # bound-dual gathers (reference gatherDualSolutionVarBounds*/IneqUpp/
+    # IneqLow, :302-335).  With presolve, bound duals are recovered from
+    # the sign-split reduced costs / ineq duals (standard LP dual
+    # recovery; exact at complementarity).
+    def _reduced_cost(self) -> np.ndarray:
+        """c - A'y - C'z in the original space (= gamma - phi at KKT)."""
+        x = self.gatherPrimalSolution()
+        y = self.gatherDualSolutionEq()
+        z = self.gatherDualSolutionIneq()
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            return (np.asarray(lp.c, np.float64)
+                    - np.asarray(lp.A, np.float64).T @ y
+                    - np.asarray(lp.C, np.float64).T @ z)
+        y0, yN, yl = (y[:lp.m0E], y[lp.m0E:lp.m0E + lp.N * lp.mE]
+                      .reshape(lp.N, lp.mE), y[lp.m0E + lp.N * lp.mE:])
+        z0, zN, zl = (z[:lp.m0I], z[lp.m0I:lp.m0I + lp.N * lp.mI]
+                      .reshape(lp.N, lp.mI), z[lp.m0I + lp.N * lp.mI:])
+        A0, A, B = (np.asarray(lp.A0, np.float64),
+                    np.asarray(lp.A, np.float64),
+                    np.asarray(lp.B, np.float64))
+        C0, C, D = (np.asarray(lp.C0, np.float64),
+                    np.asarray(lp.C, np.float64),
+                    np.asarray(lp.D, np.float64))
+        F0, F = np.asarray(lp.F0, np.float64), np.asarray(lp.F, np.float64)
+        G0, G = np.asarray(lp.G0, np.float64), np.asarray(lp.G, np.float64)
+        g0 = (A0.T @ y0 + np.einsum("nij,ni->j", A, yN) + F0.T @ yl
+              + C0.T @ z0 + np.einsum("nij,ni->j", C, zN) + G0.T @ zl)
+        gN = (np.einsum("nij,ni->nj", B, yN)
+              + np.einsum("nij,i->nj", F, yl)
+              + np.einsum("nij,ni->nj", D, zN)
+              + np.einsum("nij,i->nj", G, zl))
+        c = np.concatenate([np.asarray(lp.c0, np.float64),
+                            np.asarray(lp.cN, np.float64).reshape(-1)])
+        return c - np.concatenate([g0, gN.reshape(-1)])
+
+    def gatherDualSolutionVarBoundsLow(self) -> np.ndarray:
+        """gamma (dual of x >= xlow), reference :333."""
+        self._require_result()
+        if self._presolve_log is not None:
+            rc = self._reduced_cost()
+            il, _, _, _ = self._orig_var_bounds()
+            return il * np.maximum(rc, 0.0)
+        return self._gather_bound_dual(self.result.iterate.gamma)
+
+    def gatherDualSolutionVarBoundsUpp(self) -> np.ndarray:
+        """phi (dual of x <= xupp), reference :328."""
+        self._require_result()
+        if self._presolve_log is not None:
+            rc = self._reduced_cost()
+            _, _, iu, _ = self._orig_var_bounds()
+            return iu * np.maximum(-rc, 0.0)
+        return self._gather_bound_dual(self.result.iterate.phi)
+
+    def gatherDualSolutionVarBounds(self) -> np.ndarray:
+        """gamma - phi (low minus upp, reference :312-324)."""
+        return (self.gatherDualSolutionVarBoundsLow()
+                - self.gatherDualSolutionVarBoundsUpp())
+
+    def gatherDualSolutionIneqLow(self) -> np.ndarray:
+        """lambda (dual of C x >= clow), reference :307.  Row-space dual:
+        unscales like z (multiply by the row factors)."""
+        self._require_result()
+        if self._presolve_log is not None:
+            z = self.gatherDualSolutionIneq()
+            il, _, _, _ = self._orig_row_bounds()
+            return il * np.maximum(z, 0.0)
+        it = self.result.iterate
+        if isinstance(self.lp, DenseLP):
+            lam = np.asarray(it.lam, np.float64)
+            return (lam * np.asarray(self._scaler.rC)
+                    if self._scaler else lam)
+        rC = self._scaler.rC if self._scaler is not None else None
+        return self._gather_row_dual(it.lam, "I", rC)
+
+    def gatherDualSolutionIneqUpp(self) -> np.ndarray:
+        """pi (dual of C x <= cupp), reference :302."""
+        self._require_result()
+        if self._presolve_log is not None:
+            z = self.gatherDualSolutionIneq()
+            _, _, iu, _ = self._orig_row_bounds()
+            return iu * np.maximum(-z, 0.0)
+        it = self.result.iterate
+        if isinstance(self.lp, DenseLP):
+            pi = np.asarray(it.pi, np.float64)
+            return (pi * np.asarray(self._scaler.rC)
+                    if self._scaler else pi)
+        rC = self._scaler.rC if self._scaler is not None else None
+        return self._gather_row_dual(it.pi, "I", rC)
+
+    # ------------------------------------------------------------------
+    # residual gathers (reference gatherPrimalResids*/gatherDualResids,
+    # :403-417) — evaluated in the ORIGINAL space from the gathered
+    # solution, so they are meaningful after presolve/scaling too.
+    def gatherPrimalResidsEQ(self) -> np.ndarray:
+        """rA = A x - b (reference :403)."""
+        self._require_result()
+        ax = self.gatherEqualityConsValues()
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            return ax - np.asarray(lp.b, np.float64)
+        b = np.concatenate([np.asarray(lp.b0, np.float64),
+                            np.asarray(lp.bN, np.float64).reshape(-1),
+                            np.asarray(lp.bl, np.float64)])
+        return ax - b
+
+    def gatherPrimalResidsIneqLow(self) -> np.ndarray:
+        """rt = min(C x - clow, 0) violation on lower-bounded rows
+        (reference rt, :411)."""
+        self._require_result()
+        cx = self.gatherInequalityConsValues()
+        il, lo, _, _ = self._orig_row_bounds()
+        return il * np.minimum(cx - lo, 0.0)
+
+    def gatherPrimalResidsIneqUp(self) -> np.ndarray:
+        """ru = max(C x - cupp, 0) violation on upper-bounded rows
+        (reference ru, :407)."""
+        self._require_result()
+        cx = self.gatherInequalityConsValues()
+        _, _, iu, up = self._orig_row_bounds()
+        return iu * np.maximum(cx - up, 0.0)
+
+    def gatherDualResids(self) -> np.ndarray:
+        """Lagrangian gradient c - A'y - C'z - gamma + phi (reference
+        :415)."""
+        self._require_result()
+        return (self._reduced_cost()
+                - self.gatherDualSolutionVarBoundsLow()
+                + self.gatherDualSolutionVarBoundsUpp())
+
+    # ------------------------------------------------------------------
+    def getFirstStageObjective(self) -> float:
+        """c0' x0 in the original space (reference :213-218)."""
+        self._require_result()
+        x = self.gatherPrimalSolution()
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            return float(np.dot(np.asarray(lp.c, np.float64), x))
+        return float(np.dot(np.asarray(lp.c0, np.float64), x[:lp.n0]))
+
+    def getFirstStagePrimalColSolution(self) -> np.ndarray:
+        """x0 (reference :419-422)."""
+        self._require_result()
+        lp = self.lp
+        x = self.gatherPrimalSolution()
+        return x if isinstance(lp, DenseLP) else x[:lp.n0]
+
+    def getSecondStagePrimalColSolution(self, scen: int) -> np.ndarray:
+        """x_scen (reference :424-430)."""
+        self._require_result()
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            raise TypeError("second-stage solution requires ArrowheadLP")
+        x = self.gatherPrimalSolution()
+        return x[lp.n0 + scen * lp.n: lp.n0 + (scen + 1) * lp.n]
+
+    def printComplementarityResiduals(self) -> dict:
+        """inf-norms of the complementarity products v*gamma, w*phi,
+        t*lambda, u*pi (reference printComplementarityResiduals,
+        :497-528).  Returns the norms and prints them."""
+        self._require_result()
+        pairs = {
+            "vars_low (v*gamma)": (self.gatherSlacksVarsLow(),
+                                   self.gatherDualSolutionVarBoundsLow()),
+            "vars_upp (w*phi)": (self.gatherSlacksVarsUp(),
+                                 self.gatherDualSolutionVarBoundsUpp()),
+            "ineq_low (t*lambda)": (self.gatherSlacksInequalityLow(),
+                                    self.gatherDualSolutionIneqLow()),
+            "ineq_upp (u*pi)": (self.gatherSlacksInequalityUp(),
+                                self.gatherDualSolutionIneqUpp()),
+        }
+        norms = {}
+        for name, (a, b) in pairs.items():
+            norms[name] = float(np.max(np.abs(a * b))) if a.size else 0.0
+            print(f"complementarity {name}: {norms[name]:.3e}")
+        return norms

@@ -97,7 +97,7 @@ def solve_on_device(be_ctor, opts: Options, lp):
 
         def do_step(args):
             it, dp, dd = args
-            new_it, stats = ipm_step(be, it, dp, dd, opts)
+            new_it, stats = ipm_step(be, it, dp, dd, opts, iteration=k)
             ok = stats.factor_ok
             # on factorization failure: keep iterate, escalate deltas
             # (inertia-free ladder; retried next loop turn)

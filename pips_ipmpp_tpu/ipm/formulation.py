@@ -342,14 +342,20 @@ def _masked_max(tree, axis):
     return -spaces.min_reduce(neg, axis)
 
 
-def blocking_pair_info(be, it: Iterate, d: Iterate, a_max, primal: bool):
-    """Blocking-pair data for Mehrotra's step-length heuristic (reference
-    find_blocking / find_blocking_pd, the distributed minloc reduction,
-    DistributedVector.C:702-726): among pairs that block at `a_max`, return
-    (val_b, dval_b, partner_after) where partner_after is the OTHER side of
-    the pair evaluated at a_max.  Implemented value-based (no argmin
-    gather): blocking entries are those whose ratio equals a_max within
-    tolerance; ties resolved by the largest partner (conservative)."""
+def find_blocking(be, it: Iterate, d: Iterate, primal: bool):
+    """EXACT blocking-pair extraction (reference find_blocking_pd — the
+    distributed minloc pair reduction, DistributedVector.C:702-726,
+    find_blocking_partial :654-699).
+
+    Returns (a_max, val_b, dval_b, partner_b, dpartner_b, blocking) where
+    a_max = min(1, min ratio), (val_b, dval_b) are the blocking entry and
+    its step, (partner_b, dpartner_b) the OTHER side of that pair, and
+    `blocking` is False when no pair blocks below 1 (reference
+    firstOrSecond == 0).
+
+    Implementation: per-leaf masked argmin + gather, then a leaf-chained
+    select; across the mesh axis a pmin of the ratio followed by
+    owner-select (lowest device index wins ties) and one psum."""
     bd = be.bounds
     pairs = [
         (bd.ixlow, it.v, d.v, it.gamma, d.gamma),
@@ -361,26 +367,52 @@ def blocking_pair_info(be, it: Iterate, d: Iterate, a_max, primal: bool):
         pairs = [(m, dual, ddual, val, dval)
                  for (m, val, dval, dual, ddual) in pairs]
 
-    sel_val, sel_partner = [], []
+    INF = jnp.asarray(jnp.inf, jax.tree.leaves(it.v)[0].dtype)
+    best = (INF, 0.0, 0.0, 0.0, 0.0)   # ratio, val, dval, partner, dpartner
+
+    def leaf_candidate(m, a, da, p, dp):
+        """(ratio, val, dval, partner, dpartner) at this leaf's argmin."""
+        r = jnp.where((m > 0) & (da < 0),
+                      -a / jnp.where(da < 0, da, -1.0), jnp.inf).ravel()
+        i = jnp.argmin(r)
+        return (r[i], a.ravel()[i], da.ravel()[i],
+                p.ravel()[i], dp.ravel()[i])
+
     for (m, val, dval, par, dpar) in pairs:
-        def mk_val(mm, a, da):
-            ratio = jnp.where((mm > 0) & (da < 0),
-                              -a / jnp.where(da < 0, da, -1.0), jnp.inf)
-            is_block = ratio <= a_max * (1.0 + 1e-6) + 1e-12
-            return jnp.where(is_block, a, -jnp.inf)
+        leaves = zip(*(jax.tree.leaves(t) for t in (m, val, dval, par, dpar)))
+        for (ml, al, dal, pl, dpl) in leaves:
+            if ml.size == 0:
+                continue
+            cand = leaf_candidate(ml, al, dal, pl, dpl)
+            take = cand[0] < best[0]
+            best = tuple(jnp.where(take, c, b) for c, b in zip(cand, best))
 
-        def mk_par(mm, a, da, p, dp):
-            ratio = jnp.where((mm > 0) & (da < 0),
-                              -a / jnp.where(da < 0, da, -1.0), jnp.inf)
-            is_block = ratio <= a_max * (1.0 + 1e-6) + 1e-12
-            return jnp.where(is_block, p + a_max * dp, -jnp.inf)
+    ratio = best[0]
+    if be.axis is not None:
+        # global min ratio, then owner-select (lowest device index on ties)
+        gmin = jax.lax.pmin(ratio, be.axis)
+        dev = jax.lax.axis_index(be.axis)
+        nd = jax.lax.psum(1, be.axis)
+        is_cand = (ratio == gmin) | (~jnp.isfinite(gmin) & ~jnp.isfinite(ratio))
+        owner_dev = jax.lax.pmin(jnp.where(is_cand, dev, nd), be.axis)
+        own = is_cand & (dev == owner_dev)
+        best = tuple(jax.lax.psum(jnp.where(own, b, 0.0), be.axis)
+                     for b in best[1:])
+        ratio = gmin
+        best = (ratio,) + best
 
-        sel_val.append(tmap(mk_val, m, val, dval))
-        sel_partner.append(tmap(mk_par, m, val, dval, par, dpar))
-    ax = be.axis
-    # at any blocking index, val = -a_max * dval exactly, so (val_b, a_max)
-    # determine dval_b; partner picked conservatively (largest)
-    return _masked_max(sel_val, ax), _masked_max(sel_partner, ax)
+    a_max = jnp.minimum(1.0, ratio)
+    blocking = jnp.isfinite(ratio) & (ratio < 1.0)
+    return a_max, best[1], best[2], best[3], best[4], blocking
+
+
+def blocking_pair_info(be, it: Iterate, d: Iterate, a_max, primal: bool):
+    """Back-compat wrapper: (val_b, partner_at_a_max) of the exact blocking
+    pair (see find_blocking)."""
+    _, val_b, _, par, dpar, blocking = find_blocking(be, it, d, primal)
+    val_b = jnp.where(blocking, val_b, -jnp.inf)
+    par_after = jnp.where(blocking, par + a_max * dpar, -jnp.inf)
+    return val_b, par_after
 
 
 def step_bound_single(be, it: Iterate, d: Iterate):
@@ -388,6 +420,24 @@ def step_bound_single(be, it: Iterate, d: Iterate):
     a_p, a_d = step_bounds_pd(be, it, d)
     a = jnp.minimum(a_p, a_d)
     return a, a
+
+
+def add_weighted(d: Iterate, corr: Iterate, w_p, w_d) -> Iterate:
+    """step.add(corrector, weight_primal, weight_dual): primal components
+    scaled by w_p, dual components by w_d (reference Variables::add with
+    separate weights, used by the Gondzio loop, InteriorPointMethod.cpp:285,
+    306, 317, 331)."""
+    prim = dict(x=d.x, s=d.s, v=d.v, w=d.w, t=d.t, u=d.u)
+    cprim = dict(x=corr.x, s=corr.s, v=corr.v, w=corr.w, t=corr.t, u=corr.u)
+    dual = dict(y=d.y, z=d.z, gamma=d.gamma, phi=d.phi, lam=d.lam, pi=d.pi)
+    cdual = dict(y=corr.y, z=corr.z, gamma=corr.gamma, phi=corr.phi,
+                 lam=corr.lam, pi=corr.pi)
+    newp = tmap(lambda a, b: a + w_p * b, prim, cprim)
+    newd = tmap(lambda a, b: a + w_d * b, dual, cdual)
+    return Iterate(x=newp["x"], s=newp["s"], y=newd["y"], z=newd["z"],
+                   v=newp["v"], w=newp["w"], t=newp["t"], u=newp["u"],
+                   gamma=newd["gamma"], phi=newd["phi"],
+                   lam=newd["lam"], pi=newd["pi"])
 
 
 def take_step(it: Iterate, d: Iterate, alpha_p, alpha_d) -> Iterate:

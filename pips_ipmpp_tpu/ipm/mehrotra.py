@@ -33,15 +33,26 @@ class StepStats:
     factor_ok: Any
 
 
+def _bicg_tol(opts: Options, iteration):
+    """Iteration-adaptive outer-BiCGStab tolerance (reference
+    set_BiCGStab_tolerance, InteriorPointMethod.cpp:655-669): loose early
+    (1e-8), tightening to 1e-10 as the IPM converges."""
+    if not opts.dynamic_bicg_tol or iteration is None:
+        return opts.outer_bicg_tol
+    return jnp.where(iteration <= 3, 1e-8,
+                     jnp.where(iteration <= 7, 1e-9, opts.outer_bicg_tol))
+
+
 def _solve_dir(be, it, res, comp, Ominv, fac, opts: Options,
-               want_stats: bool = False):
+               want_stats: bool = False, iteration=None):
     rhs = F.assemble_reduced_rhs(be, it, res, comp, Ominv)
     stats = None
     if opts.outer_bicgstab and hasattr(be, "solve_reduced_bicgstab"):
         # OUTER_SOLVE=2: BiCGStab on the full structured KKT, direct solve
         # as preconditioner (reference gmspips.cpp:79 forces this mode)
         dx, dy, dz, stats = be.solve_reduced_bicgstab(
-            fac, rhs, max_iters=opts.outer_max_iters)
+            fac, rhs, max_iters=opts.outer_max_iters,
+            tol=_bicg_tol(opts, iteration))
     else:
         dx, dy, dz = be.solve_reduced(fac, rhs, opts.refinement_steps)
     d = F.recover_step(be, it, res, comp, Ominv, rhs, dx, dy, dz)
@@ -56,8 +67,13 @@ def _alphas(be, it, d, opts: Options):
     return F.step_bounds_pd(be, it, d)
 
 
-def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
-    """One full IPM iteration. Returns (new_iterate, StepStats)."""
+def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options,
+             iteration=None):
+    """One full IPM iteration. Returns (new_iterate, StepStats).
+
+    `iteration` (traced int or None) gates the late-iteration mechanisms:
+    small-complementarity-pair correctors (first_iter_small_correctors)
+    and the adaptive outer-BiCGStab tolerance."""
     res = F.compute_residuals(be, it)
     Dx, Ominv = F.kkt_diagonals(be, it)
     fac = be.factorize(Dx, Ominv, delta_p, delta_d)
@@ -78,7 +94,7 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
     # ---- corrector (combined direction) ----
     comp_corr = F.comp_rhs_corrector(be, it, d_aff, sigma_mu)
     d, bicg = _solve_dir(be, it, res, comp_corr, Ominv, fac, opts,
-                         want_stats=True)
+                         want_stats=True, iteration=iteration)
 
     # ---- weighted predictor-corrector line search (reference :459-526) --
     if opts.n_linesearch_points > 1:
@@ -100,38 +116,109 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
     n_gondzio = jnp.zeros((), jnp.int32)
 
     if opts.max_gondzio_correctors > 0:
+        it_idx = (jnp.asarray(iteration, jnp.int32) if iteration is not None
+                  else jnp.asarray(-1, jnp.int32))
+        small_allowed = (opts.small_pair_correctors
+                         and opts.max_additional_correctors > 0)
+
         def cond(carry):
-            d_c, ap_c, ad_c, k, go = carry
-            small = jnp.minimum(ap_c, ad_c) < 1.0
-            return (go & small & allow_gondzio
-                    & (k < opts.max_gondzio_correctors))
+            d_c, ap_c, ad_c, k, n_small, small_corr, go = carry
+            unconverged = jnp.minimum(ap_c, ad_c) < 1.0
+            return (go & unconverged & allow_gondzio
+                    & (k < opts.max_gondzio_correctors)
+                    & (n_small < max(opts.max_additional_correctors, 1)))
 
         def body(carry):
-            d_c, ap_c, ad_c, k, _ = carry
-            # enlarged trial steps (Gondzio's delta-alpha probing)
-            ap_t = jnp.minimum(ap_c + 0.08, 1.0)
-            ad_t = jnp.minimum(ad_c + 0.08, 1.0)
+            d_c, ap_c, ad_c, k, n_small, small_corr, _ = carry
+            # enlarged trial steps alpha_t = min(1, f1*alpha + f0)
+            # (reference step_factor0/1, InteriorPointMethod.cpp:253-254)
+            ap_t = jnp.minimum(opts.step_factor1 * ap_c + opts.step_factor0,
+                               1.0)
+            ad_t = jnp.minimum(opts.step_factor1 * ad_c + opts.step_factor0,
+                               1.0)
+            # small-pair correctors lift the upper projection bound to +inf
+            # so only tiny complementarity products are pushed (reference
+            # compute_gondzio_corrector :446-457 with rmax = infinity)
+            beta_hi = jnp.where(small_corr, jnp.inf, opts.beta_max)
             comp_g = F.comp_rhs_gondzio(be, it, d_c, ap_t, ad_t, sigma_mu,
-                                        opts.beta_min, opts.beta_max)
+                                        opts.beta_min, beta_hi)
             corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, opts)
-            d_new = jax.tree.map(lambda a, b: a + b, d_c, corr)
-            ap_n, ad_n = _alphas(be, it, d_new, opts)
-            # accept if both step lengths improved enough (reference
-            # acceptance test with acceptance_tolerance)
-            tol = opts.acceptance_tolerance
-            accept = (ap_n >= ap_c + tol * 0.08) & (ad_n >= ad_c + tol * 0.08)
-            d_keep = jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), d_new, d_c)
-            return (d_keep,
-                    jnp.where(accept, ap_n, ap_c),
-                    jnp.where(accept, ad_n, ad_c),
-                    k + 1, accept)
 
-        d, a_p, a_d, n_gondzio, _ = jax.lax.while_loop(
-            cond, body, (d, a_p, a_d, n_gondzio, jnp.asarray(True)))
+            # per-side weighted corrector addition (reference
+            # calculate_alpha_pd_weight_candidate :459-526): scan weights,
+            # pick the best primal and dual weights INDEPENDENTLY
+            nw = max(opts.n_linesearch_points, 1)
+            ws = jnp.linspace(1.0 / nw, 1.0, nw)
+
+            def eval_w(w):
+                dw = F.add_weighted(d_c, corr, w, w)
+                return _alphas(be, it, dw, opts)
+
+            aps, ads = jax.vmap(eval_w)(ws)
+            ip = jnp.argmax(aps)
+            idd = jnp.argmax(ads)
+            ap_n, wp = aps[ip], ws[ip]
+            ad_n, wd = ads[idd], ws[idd]
+
+            tol = 1.0 + opts.acceptance_tolerance
+            acc_p = ap_n >= tol * ap_c
+            acc_d = ad_n >= tol * ad_c
+            # apply the corrector with per-side weights (zero on the side
+            # that did not improve — reference :298-331)
+            d_new = F.add_weighted(d_c, corr,
+                                   jnp.where(acc_p, wp, 0.0),
+                                   jnp.where(acc_d, wd, 0.0))
+            accepted = acc_p | acc_d
+            ap_c2 = jnp.where(acc_p, ap_n, ap_c)
+            ad_c2 = jnp.where(acc_d, ad_n, ad_c)
+            # on rejection: switch to small-pair correctors once, when the
+            # step is still poor and the IPM is late enough (reference
+            # :341-352, GONDZIO_STOCH_FIRST_ITER/MAX_ALPHA_SMALL_CORRECTORS)
+            can_small = (jnp.asarray(small_allowed)
+                         & ~small_corr
+                         & (it_idx >= opts.first_iter_small_correctors)
+                         & (jnp.minimum(ap_c, ad_c)
+                            < opts.max_alpha_small_correctors))
+            switch_small = ~accepted & can_small
+            go = accepted | switch_small
+            return (d_new, ap_c2, ad_c2, k + jnp.asarray(accepted, jnp.int32),
+                    n_small + jnp.asarray(accepted & small_corr, jnp.int32),
+                    small_corr | switch_small, go)
+
+        d, a_p, a_d, n_gondzio, _, _, _ = jax.lax.while_loop(
+            cond, body, (d, a_p, a_d, n_gondzio, jnp.zeros((), jnp.int32),
+                         jnp.asarray(False), jnp.asarray(True)))
 
     # ---- final step lengths ----
     a_p_f, a_d_f = _final_steplengths(be, it, d, a_p, a_d, mu, opts)
+
+    # ---- probing (reference compute_probing_factor, :528-627): when the
+    # step looks troubled, evaluate residuals and mu at the candidate point
+    # and damp the step so neither grows more than 10x ----
+    if opts.probing:
+        trouble = jnp.minimum(a_p_f, a_d_f) < opts.probing_trigger
+        if bicg is not None:
+            trouble = trouble | ~bicg["converged"]
+
+        def probing_factor(_):
+            trial = F.take_step(it, d, a_p_f, a_d_f)
+            res_t = F.compute_residuals(be, trial)
+            rn_t = F.residual_norm(res_t, be.axis)
+            rn_0 = F.residual_norm(res, be.axis)
+            mu_t = F.mu(be, trial)
+            f = jnp.ones_like(mu)
+            f = jnp.minimum(f, jnp.where(
+                rn_t > 10.0 * rn_0,
+                9.0 * rn_0 / jnp.maximum(rn_t - rn_0, 1e-300) * 0.9995, f))
+            f = jnp.minimum(f, jnp.where(
+                mu_t > 10.0 * mu,
+                9.0 * mu / jnp.maximum(mu_t - mu, 1e-300) * 0.9995, f))
+            return f
+
+        factor = jax.lax.cond(trouble, probing_factor,
+                              lambda _: jnp.ones_like(mu), None)
+        a_p_f = a_p_f * factor
+        a_d_f = a_d_f * factor
 
     # ---- numerical-troubles path (reference :528-627): when the combined
     # step collapses, retry with a PURE CENTERING direction (sigma = 1,
@@ -160,34 +247,46 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options):
 
 
 def _final_steplengths(be, it, d, a_p_max, a_d_max, mu, opts: Options):
-    """Mehrotra's step-length heuristic, blocking-pair form (reference
-    mehrotra_step_length primal :696-744 / primal-dual :746-816).
+    """Mehrotra's step-length heuristic with the EXACT blocking pair
+    (reference PrimalDualInteriorPointMethod::mehrotra_step_length,
+    InteriorPointMethod.cpp:746-816, over find_blocking's distributed
+    minloc pair, DistributedVector.C:702-726).
 
-    For each side, the step is chosen so that the BLOCKING pair's product
-    after the step stays >= gamma_f * mu_+ : with blocking primal value
-    v_b(alpha) = v_b + alpha dv_b (and dv_b = -v_b/alpha_max at blocking),
-    solve v_b(alpha) * partner(alpha_max) = gamma_f * mu_+ for alpha.
-    Falls back to gamma_f * alpha_max when the formula is degenerate."""
-    gf = opts.steplength_factor
-    mu_full = F.mu_after_step(be, it, d, a_p_max, a_d_max)
+    mufull = mu(alpha_max) / gamma_a.  For the primal side with blocking
+    pair (v_b, dv_b) and partner (g_b, dg_b):
 
-    def side(a_max, primal):
-        val_b, partner = F.blocking_pair_info(be, it, d, a_max, primal)
-        ok = (jnp.isfinite(val_b) & jnp.isfinite(partner)
-              & (val_b > 0) & (partner > 1e-300) & (a_max > 1e-12))
-        dval_b = -val_b / jnp.maximum(a_max, 1e-12)
-        target = gf * mu_full / jnp.maximum(partner, 1e-300)
-        alpha = (target - val_b) / jnp.where(dval_b < 0, dval_b, -1.0)
-        alpha = jnp.where(ok, alpha, gf * a_max)
-        # keep within [gamma_f * a_max, a_max] (reference clamps likewise)
-        return jnp.clip(alpha, gf * a_max, jnp.minimum(a_max, gf))
+        alpha_p = (-v_b + mufull / (g_b + alpha_d_max * dg_b)) / dv_b
 
+    clamped to [gamma_f * alpha_max, alpha_max], then damped by
+    steplength_factor; alpha = 1 when nothing blocks."""
+    gf = opts.gamma_f
+    sf = opts.steplength_factor
+    mu_full = F.mu_after_step(be, it, d, a_p_max, a_d_max) / opts.gamma_a
+
+    ap_m, vp, dvp, gp, dgp, blk_p = F.find_blocking(be, it, d, primal=True)
+    ad_m, vd, dvd, gd, dgd, blk_d = F.find_blocking(be, it, d, primal=False)
+    # the alpha_max from the exact reduction equals the step_bounds_pd
+    # values; use the passed ones (post-Gondzio they are identical)
+    del ap_m, ad_m
+
+    def side(a_max, other_max, val, dval, par, dpar, blocking):
+        par_estim = par + other_max * dpar
+        degenerate = jnp.abs(par_estim) < 1e-300
+        alpha = (-val + mu_full / jnp.where(degenerate, 1.0, par_estim)) \
+            / jnp.where(dval < 0, dval, -1.0)
+        alpha = jnp.where(degenerate, 0.0, alpha)
+        alpha = jnp.where(blocking, alpha, 1.0)
+        # safeguard (reference :800-812)
+        alpha = jnp.minimum(alpha, a_max)
+        alpha = jnp.maximum(alpha, gf * a_max)
+        return alpha * sf
+
+    a_p = side(a_p_max, a_d_max, vp, dvp, gp, dgp, blk_p)
+    a_d = side(a_d_max, a_p_max, vd, dvd, gd, dgd, blk_d)
     if opts.step_mode == StepMode.PRIMAL:
-        a_max = jnp.minimum(a_p_max, a_d_max)
-        # single step length: use the more conservative of the two sides
-        a = jnp.minimum(side(a_max, True), side(a_max, False))
+        a = jnp.minimum(a_p, a_d)
         return a, a
-    return side(a_p_max, True), side(a_d_max, False)
+    return a_p, a_d
 
 
 def _weighted_pc_search(be, it, d_aff, d_corr, opts: Options):

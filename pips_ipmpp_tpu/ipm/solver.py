@@ -88,9 +88,9 @@ def _eval_fn(be_ctor, lp, it):
             F.duality_gap(be, it), be.objective(it.x))
 
 
-def _step_fn(be_ctor, opts, lp, it, dp, dd):
+def _step_fn(be_ctor, opts, lp, it, dp, dd, k=None):
     be = be_ctor(lp)
-    return ipm_step(be, it, dp, dd, opts)
+    return ipm_step(be, it, dp, dd, opts, iteration=k)
 
 
 def _init_fn(be_ctor, opts, lp):
@@ -193,7 +193,7 @@ class IPMSolver:
                     status = TerminationStatus.UNKNOWN
                     break
 
-            new_it, stats = self._step(lp, it, dp, dd)
+            new_it, stats = self._step(lp, it, dp, dd, k)
             stats_h = jax.device_get(stats)   # one transfer for all scalars
             ok = bool(stats_h.factor_ok)
             retries = 0
@@ -201,7 +201,7 @@ class IPMSolver:
                 # inertia-free regularization escalation
                 dp = dp * opts.regularization_growth + 1e-12
                 dd = dd * opts.regularization_growth + 1e-12
-                new_it, stats = self._step(lp, it, dp, dd)
+                new_it, stats = self._step(lp, it, dp, dd, k)
                 stats_h = jax.device_get(stats)
                 ok = bool(stats_h.factor_ok)
                 retries += 1

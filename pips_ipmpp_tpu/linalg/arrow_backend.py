@@ -71,6 +71,8 @@ class ArrowFactors:
                         # path; the role of the reference's factorized root,
                         # sLinsysRootAug.C:347-354) or ()
     ok: jax.Array       # scalar factorization-health flag (local)
+    Wd: jax.Array       # [nD, nD/P] column-sharded dual-Schur inverse
+                        # (distributed-root mode, linalg/dist_root.py) or ()
 
 
 def _bchol_solve(L, b):
@@ -197,7 +199,9 @@ class ArrowBackend:
                  explicit_inverse: Optional[bool] = None,
                  pallas_chol: bool = False,
                  ldl_kernel: Optional[bool] = None,
-                 blockwise_sc: int = 0):
+                 blockwise_sc: int = 0,
+                 dist_root: bool = False,
+                 n_shards: int = 1):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -216,6 +220,15 @@ class ArrowBackend:
             ldl_kernel = (jnp.dtype(factor_dtype) == jnp.float32
                           and self.explicit_inverse)
         self.ldl_kernel = ldl_kernel
+        # distributed root: column-shard the dual Schur complement over the
+        # mesh axis and factorize it with the panel-blocked distributed
+        # Cholesky (linalg/dist_root.py) — the linking dimension is no
+        # longer replicated-memory-bound (reference: MUMPS root over a
+        # sub-communicator, MumpsSolverBase.h:28-72)
+        if dist_root and axis is None:
+            raise ValueError("dist_root requires a mesh axis")
+        self.dist_root = dist_root
+        self.n_shards = n_shards
         # blockwise Schur computation (reference SC_COMPUTE_BLOCKWISE,
         # DistributedLinearSystem.h:77-99): border solves are streamed in
         # column chunks of this size and the K^{-1}R caches are NOT stored;
@@ -435,6 +448,30 @@ class ArrowBackend:
         if leaf_ok is None:
             leaf_ok = jnp.asarray(True)
 
+        if self.dist_root:
+            from pips_ipmpp_tpu.linalg.dist_root import (dist_chol_inverse,
+                                                         own_slice)
+            nD_total = nD
+            # first-stage block stays replicated (n0 is small); the big
+            # dual Schur complement is column-sharded over the mesh
+            chol1 = jnp.linalg.cholesky(S11.astype(fd))
+            S12f = S12.astype(fd)
+            S12_cols = own_slice(S12f, self.axis, self.n_shards)  # [n0,nDp]
+            T_cols = _spd_solve(chol1, S12_cols)                  # [n0,nDp]
+            S22_cols = own_slice(S22.astype(fd), self.axis, self.n_shards)
+            Sdual_cols = -(S22_cols - S12f.T @ T_cols)            # [nD,nDp]
+            Wd, root_ok = dist_chol_inverse(Sdual_cols, self.axis,
+                                            self.n_shards)
+            root_ok = root_ok & jnp.all(jnp.isfinite(chol1))
+            z = jnp.zeros((), fd)
+            return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux,
+                                Um=Um, chol1=chol1, S11inv=z,
+                                T=T_cols.astype(Einv.dtype), chol2=z,
+                                Sdinv=z, Einv0=Einv0, Om0=Om0, Oml=Oml,
+                                delta_p=jnp.asarray(delta_p, Einv.dtype),
+                                delta_d=jnp.asarray(delta_d, Einv.dtype),
+                                Sinv=z, ok=leaf_ok & root_ok, Wd=Wd)
+
         if self.ldl_kernel:
             # ---- single quasidefinite root factor+inverse (LDL kernel) ---
             # S_full = [[S11, S12], [S12', S22]] has SPD primal block and
@@ -460,7 +497,8 @@ class ArrowBackend:
                                 Sdinv=z, Einv0=Einv0, Om0=Om0, Oml=Oml,
                                 delta_p=jnp.asarray(delta_p, Einv.dtype),
                                 delta_d=jnp.asarray(delta_d, Einv.dtype),
-                                Sinv=Sinv, ok=leaf_ok & root_ok)
+                                Sinv=Sinv, ok=leaf_ok & root_ok,
+                                Wd=jnp.zeros((), fd))
 
         # ---- root two-level condensation ----
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
@@ -485,7 +523,8 @@ class ArrowBackend:
                             delta_p=jnp.asarray(delta_p, Einv.dtype),
                             delta_d=jnp.asarray(delta_d, Einv.dtype),
                             Sinv=jnp.zeros((), fd),
-                            ok=leaf_ok & root_ok)
+                            ok=leaf_ok & root_ok,
+                            Wd=jnp.zeros((), fd))
 
     def _leaf_apply_inv(self, L, Ninv, Einv, M, rx, rm):
         """K_b^{-1} applied to (rx [N,n,c], rm [N,a,c]) multi-RHS."""
@@ -575,6 +614,16 @@ class ArrowBackend:
         (or one matvec with the explicit root inverse on the kernel path)."""
         fd = self.factor_dtype
         dt = p.dtype
+        if self.dist_root:
+            from pips_ipmpp_tpu.linalg.dist_root import own_slice
+            # q2_own = (q - T' p)[own rows]; d = -psum(W q2_own); a = ...
+            q_own = own_slice(q.astype(fd), self.axis, self.n_shards, 0)
+            q2_own = q_own - fac.T.astype(fd).T @ p.astype(fd)
+            d = -jax.lax.psum(fac.Wd @ q2_own, self.axis).astype(dt)
+            d_own = own_slice(d.astype(fd), self.axis, self.n_shards, 0)
+            Td = jax.lax.psum(fac.T.astype(fd) @ d_own, self.axis)
+            a = (_spd_solve(fac.chol1, p.astype(fd)) - Td).astype(dt)
+            return a, d
         if getattr(fac, "Sinv", None) is not None and fac.Sinv.ndim == 2:
             u = (fac.Sinv @ jnp.concatenate([p, q]).astype(fd)).astype(dt)
             return u[:p.shape[0]], u[p.shape[0]:]

@@ -46,13 +46,24 @@ class DistributedIPMSolver:
 
     def __init__(self, mesh: Mesh, opts: Optional[Options] = None,
                  mode: str = "shard_map", factor_dtype=jnp.float64,
-                 hier_groups: Optional[int] = None):
+                 hier_groups: Optional[int] = None,
+                 dist_root: bool = False):
         """`hier_groups`: use the hierarchical (two-level Schur) backend
         with that many block groups — groups are sharded with the blocks,
         so `hier_groups` must be a multiple of the mesh size (the
         reference's sub-tree split, DistributedTreeCallbacks::splitTree,
-        DistributedTreeCallbacks.C:1123)."""
+        DistributedTreeCallbacks.C:1123).
+
+        `dist_root`: column-shard + distribute the root (dual Schur)
+        factorization over the mesh (shard_map mode only) — the analog of
+        the reference's MUMPS distributed root (MumpsSolverBase.h:28-72).
+        """
         assert mode in ("gspmd", "shard_map")
+        if dist_root and mode != "shard_map":
+            raise ValueError("dist_root requires shard_map mode")
+        if dist_root and hier_groups is not None:
+            raise ValueError("dist_root + hierarchical not yet composable")
+        self.dist_root = dist_root
         self.mesh = mesh
         self.mode = mode
         self.opts = opts or Options()
@@ -91,6 +102,8 @@ class DistributedIPMSolver:
         kw = dict(factor_dtype=self.factor_dtype)
         if distributed:
             kw.update(axis=BLOCK_AXIS)
+            if self.dist_root:
+                kw.update(dist_root=True, n_shards=self.mesh.size)
         return partial(ArrowBackend, **kw)
 
     # ------------------------------------------------------------------
@@ -114,7 +127,7 @@ class DistributedIPMSolver:
 
         step = jax.jit(jax.shard_map(
             partial(_step_fn, ctor, opts), mesh=mesh,
-            in_specs=(lp_specs, it_specs, P(), P()),
+            in_specs=(lp_specs, it_specs, P(), P(), P()),
             out_specs=(it_specs, stats_specs),
             check_vma=False))
 

@@ -19,11 +19,13 @@ from tests.fixtures import two_scenario_linking_lp
 
 # (name, recorded objective, recorded iterations) — f64 defaults
 GOLDEN = [
-    ("arrow_s0_N4", -8.064066165268, 10),
-    ("arrow_s1_N4", -10.253453356270, 10),
-    ("arrow_s3_N8", -31.125709583678, 11),
-    ("hier_s0_N8g2", -16.282991927692, 9),
-    ("two_scenario", 7.000000000966, 6),
+    # re-recorded 2026-08-17 after the exact blocking-pair step lengths
+    # (reference mehrotra_step_length :746-816) — iteration counts dropped
+    ("arrow_s0_N4", -8.064058531303, 9),
+    ("arrow_s1_N4", -10.253453643778, 9),
+    ("arrow_s3_N8", -31.125663017398, 9),
+    ("hier_s0_N8g2", -16.282995798323, 9),
+    ("two_scenario", 7.000000015965, 6),
 ]
 
 OBJ_TOL = 1e-6
