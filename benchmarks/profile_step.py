@@ -27,7 +27,7 @@ from pips_ipmpp_tpu.scale import make_scaler
 
 SHAPE = dict(N=64, n=256, mE=128, mI=128, n0=64, m0E=32, m0I=32,
              mEl=32, mIl=32)
-K1, K2 = 4, 24
+K1, K2 = 4, 16
 
 
 def slope(fn, it):
@@ -102,16 +102,18 @@ def main():
             return new_it.x.blocks
         return loop(k, body, it)
 
+    only = set(sys.argv[1:])
     results = {}
     for name, fn in [
         ("kkt_diagonals", ph_kkt),
         ("residuals", ph_resid),
         ("factorize", ph_fact),
         ("fact+1solve", partial(ph_fact_solve, nsolve=1)),
-        ("fact+3solve", partial(ph_fact_solve, nsolve=3)),
         ("fact+1solve_ref0", partial(ph_fact_solve, nsolve=1, refine=0)),
         ("full_ipm_step", ph_step),
     ]:
+        if only and name not in only:
+            continue
         t = slope(fn, it0)
         results[name] = t
         print(json.dumps({"phase": name, "ms": round(t * 1e3, 3)}))
@@ -122,12 +124,13 @@ def main():
     flops = N * (2 * a * a * n + a ** 3 / 3 + 3 * a ** 3
                  + 2 * a * n * nS + 2 * a * a * nS + 2 * a * n * nS
                  + 2 * a * nS * (SHAPE["n0"] + 2 * SHAPE["mEl"]))
-    t_fact = results["factorize"]
-    tf = flops / t_fact / 1e12
-    print(json.dumps({"phase": "factorize_flops",
-                      "gflop": round(flops / 1e9, 2),
-                      "tflops": round(tf, 2),
-                      "mfu_vs_65tf_f32hi": round(tf / 65.0, 3)}))
+    if "factorize" in results:
+        t_fact = results["factorize"]
+        tf = flops / t_fact / 1e12
+        print(json.dumps({"phase": "factorize_flops",
+                          "gflop": round(flops / 1e9, 2),
+                          "tflops": round(tf, 2),
+                          "mfu_vs_65tf_f32hi": round(tf / 65.0, 3)}))
 
 
 if __name__ == "__main__":

@@ -80,7 +80,18 @@ def _var_bounds(pd, vb, j):
 # Pass 1: model cleanup (reference StochPresolverModelCleanup)
 # ======================================================================
 
+def _scope_blk(scope, ix):
+    """Map a scope row index tuple to the PresolveData (blk, r) address."""
+    if scope.kind == "first":
+        return FIRST, int(ix[0])
+    if scope.kind == "block":
+        return int(ix[0]), int(ix[1])
+    return LINK, int(ix[0])
+
+
 def model_cleanup(pd: PresolveData) -> int:
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
     n = 0
     # drop tiny matrix entries (relative to row max)
     for M in (pd.A0, pd.C0, pd.F0, pd.G0):
@@ -89,21 +100,29 @@ def model_cleanup(pd: PresolveData) -> int:
         for i in range(M.shape[0]):
             n += _drop_tiny(M[i])
 
-    # empty rows
-    for blk, r, coeffs, b in list(_eq_rows(pd)):
-        if not coeffs:
-            if abs(b) > FEASTOL:
-                pd.infeasible = True
-                return n
-            pd.remove_eq_row(blk, r, "empty_row")
+    # empty rows (vectorized nnz over scopes)
+    for scope, b, _ in V.eq_scopes(pd):
+        nnz = np.count_nonzero(scope.K, axis=-1)
+        empty = (nnz == 0) & scope.active
+        if np.any(empty & (np.abs(np.asarray(b)) > FEASTOL)):
+            pd.infeasible = True
+            return n
+        for ix in np.argwhere(empty):
+            pd.remove_eq_row(*_scope_blk(scope, ix), "empty_row")
             n += 1
-    for blk, r, coeffs, (il, lo, iu, up) in list(_ineq_rows(pd)):
-        if not coeffs:
-            if (il > 0 and lo > FEASTOL) or (iu > 0 and up < -FEASTOL):
-                pd.infeasible = True
-                return n
-            pd.remove_ineq_row(blk, r, "empty_row")
+    for scope, lo_r, up_r in V.ineq_scopes(pd):
+        nnz = np.count_nonzero(scope.K, axis=-1)
+        empty = (nnz == 0) & scope.active
+        if np.any(empty & ((np.asarray(lo_r) > FEASTOL)
+                           | (np.asarray(up_r) < -FEASTOL))):
+            pd.infeasible = True
+            return n
+        for ix in np.argwhere(empty):
+            pd.remove_ineq_row(*_scope_blk(scope, ix), "empty_row")
             n += 1
+
+    # redundant rows implied by variable bounds
+    n += redundant_rows(pd)
     return n
 
 
@@ -124,44 +143,98 @@ def _drop_tiny(M) -> int:
 # Pass 2: singleton rows (reference StochPresolverSingletonRows)
 # ======================================================================
 
+def _scope_singletons(scope):
+    """Vectorized singleton-row detection: yields (row_ix, flat_col) for
+    active rows with exactly one nonzero."""
+    nnz = np.count_nonzero(scope.K, axis=-1)
+    single = (nnz == 1) & scope.active
+    cols = np.argmax(scope.K != 0, axis=-1)
+    for ix in np.argwhere(single):
+        yield ix, int(cols[tuple(ix)])
+
+
+def _live_eq_row(pd: PresolveData, kind: str, ix):
+    """Current (row_vector, rhs, active) straight from pd (the scope
+    snapshot is a copy — mutations during a sweep must be re-validated)."""
+    if kind == "first":
+        r = int(ix[0])
+        return pd.A0[r], float(pd.b0[r]), bool(pd.rowE_active0[r])
+    if kind == "block":
+        i, r = int(ix[0]), int(ix[1])
+        return (np.concatenate([pd.A[i][r], pd.B[i][r]]),
+                float(pd.bN[i, r]), bool(pd.rowE_activeN[i, r]))
+    r = int(ix[0])
+    return (np.concatenate([pd.F0[r], np.ascontiguousarray(
+        pd.F[:, r, :]).reshape(-1)]), float(pd.bl[r]),
+        bool(pd.rowE_activel[r]))
+
+
+def _live_ineq_row(pd: PresolveData, kind: str, ix):
+    if kind == "first":
+        r = int(ix[0])
+        lo = float(pd.clow0[r]) if pd.iclow0[r] > 0 else -np.inf
+        up = float(pd.cupp0[r]) if pd.icupp0[r] > 0 else np.inf
+        return pd.C0[r], lo, up, bool(pd.rowI_active0[r])
+    if kind == "block":
+        i, r = int(ix[0]), int(ix[1])
+        lo = float(pd.clowN[i, r]) if pd.iclowN[i, r] > 0 else -np.inf
+        up = float(pd.cuppN[i, r]) if pd.icuppN[i, r] > 0 else np.inf
+        return (np.concatenate([pd.C[i][r], pd.D[i][r]]), lo, up,
+                bool(pd.rowI_activeN[i, r]))
+    r = int(ix[0])
+    lo = float(pd.clowl[r]) if pd.iclowl[r] > 0 else -np.inf
+    up = float(pd.cuppl[r]) if pd.icuppl[r] > 0 else np.inf
+    return (np.concatenate([pd.G0[r], np.ascontiguousarray(
+        pd.G[:, r, :]).reshape(-1)]), lo, up, bool(pd.rowI_activel[r]))
+
+
 def singleton_rows(pd: PresolveData) -> int:
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
+    n0v, nv = pd.c0.size, pd.cN.shape[1]
     n = 0
     changed = True
     while changed and not pd.infeasible:
         changed = False
-        for blk, r, coeffs, b in list(_eq_rows(pd)):
-            if len(coeffs) != 1:
-                continue
-            vb, j, a = coeffs[0]
-            val = b / a
-            lo, up = _var_bounds(pd, vb, j)
-            if val < lo - FEASTOL or val > up + FEASTOL:
-                pd.infeasible = True
-                return n
-            pd.remove_eq_row(blk, r, "singleton_row")
-            pd.fix_variable(vb, j, val, reason="singleton_eq_row")
-            # annotate the FIXED_COLUMN event with its defining row
-            pd.events[-1].data.update(row_blk=blk, row_idx=r, row_coef=a)
-            n += 1
-            changed = True
-        for blk, r, coeffs, (il, lo_r, iu, up_r) in list(_ineq_rows(pd)):
-            if len(coeffs) != 1:
-                continue
-            vb, j, a = coeffs[0]
-            if a > 0:
-                nl = lo_r / a if il > 0 else None
-                nu = up_r / a if iu > 0 else None
-            else:
-                nl = up_r / a if iu > 0 else None
-                nu = lo_r / a if il > 0 else None
-            old_lo, old_up = _var_bounds(pd, vb, j)
-            pd.remove_ineq_row(blk, r, "singleton_row", var_blk=vb, j=j,
-                               coef=a, old_var_bounds=(old_lo, old_up))
-            pd.tighten_bounds(vb, j, nl, nu, reason="singleton_ineq_row")
-            n += 1
-            changed = True
-            if pd.infeasible:
-                return n
+        for scope, b, _ in V.eq_scopes(pd):
+            for ix, fj in _scope_singletons(scope):
+                blk, r = _scope_blk(scope, ix)
+                i_blk = ix[0] if scope.kind == "block" else 0
+                vb, j = scope.col_id(i_blk, fj, n0v, nv)
+                a = float(scope.K[tuple(ix)][fj])
+                val = float(np.asarray(b)[tuple(ix)]) / a
+                lo, up = _var_bounds(pd, vb, j)
+                if val < lo - FEASTOL or val > up + FEASTOL:
+                    pd.infeasible = True
+                    return n
+                pd.remove_eq_row(blk, r, "singleton_row")
+                pd.fix_variable(vb, j, val, reason="singleton_eq_row")
+                # annotate the FIXED_COLUMN event with its defining row
+                pd.events[-1].data.update(row_blk=blk, row_idx=r, row_coef=a)
+                n += 1
+                changed = True
+        for scope, lo_arr, up_arr in V.ineq_scopes(pd):
+            for ix, fj in _scope_singletons(scope):
+                blk, r = _scope_blk(scope, ix)
+                i_blk = ix[0] if scope.kind == "block" else 0
+                vb, j = scope.col_id(i_blk, fj, n0v, nv)
+                a = float(scope.K[tuple(ix)][fj])
+                lo_r = float(np.asarray(lo_arr)[tuple(ix)])
+                up_r = float(np.asarray(up_arr)[tuple(ix)])
+                if a > 0:
+                    nl = lo_r / a if np.isfinite(lo_r) else None
+                    nu = up_r / a if np.isfinite(up_r) else None
+                else:
+                    nl = up_r / a if np.isfinite(up_r) else None
+                    nu = lo_r / a if np.isfinite(lo_r) else None
+                old_lo, old_up = _var_bounds(pd, vb, j)
+                pd.remove_ineq_row(blk, r, "singleton_row", var_blk=vb, j=j,
+                                   coef=a, old_var_bounds=(old_lo, old_up))
+                pd.tighten_bounds(vb, j, nl, nu, reason="singleton_ineq_row")
+                n += 1
+                changed = True
+                if pd.infeasible:
+                    return n
     return n
 
 
@@ -186,61 +259,91 @@ def column_fixation(pd: PresolveData, tol: float = 1e-11) -> int:
 # ======================================================================
 
 def parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
-    """Detect proportional rows within the same scope (block-diag rows of
-    the same block; first-stage rows; linking rows) and drop duplicates."""
+    """Detect proportional rows within each scope (first-stage rows; rows
+    of the same block; linking rows) and drop duplicates.  Rows of
+    different blocks touch disjoint columns, so cross-block comparison is
+    unnecessary (the reference likewise works per node,
+    StochPresolverParallelRows.C:166-215)."""
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
     n = 0
-    n += _parallel_eq_scope(pd, list(_eq_rows(pd)), tol)
-    n += _parallel_ineq_scope(pd, list(_ineq_rows(pd)), tol)
+    for scope, b, _ in V.eq_scopes(pd):
+        for sub, addr in _scope_submatrices(scope):
+            n += _parallel_eq_apply(pd, sub, addr, tol)
+            if pd.infeasible:
+                return n
+    for scope, _lo, _up in V.ineq_scopes(pd):
+        for sub, addr in _scope_submatrices(scope):
+            n += _parallel_ineq_apply(pd, sub, addr, tol)
+            if pd.infeasible:
+                return n
     return n
 
 
-def _find_parallel(rows, tol):
-    """Detect proportional rows among (blk, r, coeffs, data) items using the
-    native C++ detector (pips_ipmpp_tpu.native.detect_parallel_rows) over a
-    dense matrix on the union of touched columns; returns a list of
-    (kept_item, dup_item, factor) with row_dup = factor * row_kept."""
-    import numpy as np
+def _scope_submatrices(scope):
+    """Yield (M [rows, k], addr list[(blk, r)]) per comparable row group:
+    one group for first/link scopes, one per block for block scopes."""
+    if scope.kind == "block":
+        for i in range(scope.K.shape[0]):
+            rows = np.nonzero(scope.active[i]
+                              & (np.count_nonzero(scope.K[i], -1) > 0))[0]
+            if rows.size >= 2:
+                yield scope.K[i][rows], [(int(i), int(r)) for r in rows]
+    else:
+        blk = FIRST if scope.kind == "first" else LINK
+        rows = np.nonzero(scope.active
+                          & (np.count_nonzero(scope.K, -1) > 0))[0]
+        if rows.size >= 2:
+            yield scope.K[rows], [(blk, int(r)) for r in rows]
 
+
+def _detect_parallel(M, tol):
     from pips_ipmpp_tpu import native
-
-    items = [it for it in rows if it[2]]
-    if len(items) < 2:
-        return []
-    cols = {}
-    for (_b, _r, coeffs, _d) in items:
-        for (vb, j, _a) in coeffs:
-            cols.setdefault((vb, j), len(cols))
-    M = np.zeros((len(items), len(cols)))
-    for i, (_b, _r, coeffs, _d) in enumerate(items):
-        for (vb, j, a) in coeffs:
-            M[i, cols[(vb, j)]] = a
-    kept, dup, fct = native.detect_parallel_rows(M, tol)
-    return [(items[int(k)], items[int(d)], float(f))
-            for k, d, f in zip(kept, dup, fct)]
+    kept, dup, fct = native.detect_parallel_rows(
+        np.ascontiguousarray(M, np.float64), tol)
+    return zip(kept, dup, fct)
 
 
-def _parallel_eq_scope(pd, rows, tol) -> int:
+def _eq_rhs_at(pd, blk, r):
+    if blk == FIRST:
+        return float(pd.b0[r])
+    if blk == LINK:
+        return float(pd.bl[r])
+    return float(pd.bN[blk, r])
+
+
+def _parallel_eq_apply(pd, M, addr, tol) -> int:
     n = 0
-    for kept, cand, k in _find_parallel(rows, tol):
-        if abs(cand[3] - k * kept[3]) > FEASTOL * max(1, abs(cand[3])):
+    for ki, di, k in _detect_parallel(M, tol):
+        kept, cand = addr[int(ki)], addr[int(di)]
+        b_k = _eq_rhs_at(pd, *kept)
+        b_c = _eq_rhs_at(pd, *cand)
+        if abs(b_c - k * b_k) > FEASTOL * max(1, abs(b_c)):
             pd.infeasible = True
             return n
         pd.remove_eq_row(cand[0], cand[1], "parallel_row",
-                         kept_blk=kept[0], kept_r=kept[1], factor=k)
+                         kept_blk=kept[0], kept_r=kept[1], factor=float(k))
         n += 1
     return n
 
 
-def _parallel_ineq_scope(pd, rows, tol) -> int:
+def _parallel_ineq_apply(pd, M, addr, tol) -> int:
     n = 0
-    for kept, cand, k in _find_parallel(rows, tol):
-        il_c, lo_c, iu_c, up_c = cand[3]
+    for ki, di, k in _detect_parallel(M, tol):
+        kept, cand = addr[int(ki)], addr[int(di)]
+        k = float(k)
+        _, lo_c, up_c, act = _live_ineq_row(
+            pd, "first" if cand[0] == FIRST else
+            ("link" if cand[0] == LINK else "block"),
+            (cand[1],) if cand[0] in (FIRST, LINK) else (cand[0], cand[1]))
+        if not act:
+            continue
         if k > 0:
-            nl = lo_c / k if il_c > 0 else None
-            nu = up_c / k if iu_c > 0 else None
+            nl = lo_c / k if np.isfinite(lo_c) else None
+            nu = up_c / k if np.isfinite(up_c) else None
         else:
-            nl = up_c / k if iu_c > 0 else None
-            nu = lo_c / k if il_c > 0 else None
+            nl = up_c / k if np.isfinite(up_c) else None
+            nu = lo_c / k if np.isfinite(lo_c) else None
         _merge_ineq_bounds(pd, kept[0], kept[1], nl, nu)
         pd.remove_ineq_row(cand[0], cand[1], "parallel_row",
                            kept_blk=kept[0], kept_r=kept[1], factor=k)
@@ -272,68 +375,263 @@ def _merge_ineq_bounds(pd, blk, r, nl, nu):
 
 
 # ======================================================================
+# Nearly-parallel rows (reference StochPresolverParallelRows::
+# twoNearlyParallelEqualityRows, StochPresolverParallelRows.C:788-876):
+# two equality rows identical up to scale EXCEPT that each contains its
+# own singleton variable (column nnz 1).  With rows
+#     rest_s . x + a2 x2 = b_s        (row_singleton)
+#     k rest_s . x + a1 x1 = b_o      (row_other, a1 may be 0)
+# the combination eliminates x2:  x2 = t x1 + d,
+#     t = a1 / (k a2),   d = (k b_s - b_o) / (k a2),
+# after which row_singleton is exactly k^{-1} * row_other and is removed.
+# ======================================================================
+
+def nearly_parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
+    n0v, nv = pd.c0.size, pd.cN.shape[1]
+    cnt_eq0, cnt_iq0, cnt_eqN, cnt_iqN = _col_occurrence_counts(pd)
+    single0 = (cnt_eq0 + cnt_iq0 == 1) & pd.var_active0
+    singleN = (cnt_eqN + cnt_iqN == 1) & pd.var_activeN
+
+    n = 0
+    for scope, b, _ in V.eq_scopes(pd):
+        # flat-column singleton mask for this scope
+        if scope.kind == "first":
+            smask = single0[None, :]
+        elif scope.kind == "block":
+            smask = np.concatenate(
+                [np.broadcast_to(single0, (pd.N, n0v)), singleN],
+                axis=1)[:, None, :]
+        else:
+            smask = np.concatenate([single0, singleN.reshape(-1)])[None, :]
+        S = (scope.K != 0) & smask                 # singleton entries
+        n_single = S.sum(-1)
+        stripped = np.where(S, 0.0, scope.K)
+        eligible = (scope.active & (n_single <= 1)
+                    & (np.count_nonzero(stripped, -1) >= 1))
+
+        groups = []
+        if scope.kind == "block":
+            for i in range(scope.K.shape[0]):
+                rows = np.nonzero(eligible[i])[0]
+                if rows.size >= 2:
+                    groups.append((stripped[i][rows], S[i], i,
+                                   [(int(i), int(r)) for r in rows]))
+        else:
+            blk = FIRST if scope.kind == "first" else LINK
+            rows = np.nonzero(eligible)[0]
+            if rows.size >= 2:
+                groups.append((stripped[rows], S, 0,
+                               [(blk, int(r)) for r in rows]))
+
+        for M, Sm, i_blk, addr in groups:
+            done_rows = set()
+            for ki, di, k in _detect_parallel(M, tol):
+                kept, cand = addr[int(ki)], addr[int(di)]
+                if kept in done_rows or cand in done_rows:
+                    continue
+                k = float(k)
+                # locate each row's singleton entry (if any) in pd coords.
+                # Sm is always [m, k] for this group; addr[1] is the row
+                # index within it for every scope kind.
+                def singleton_of(a_addr):
+                    ixr = (a_addr[1],) if a_addr[0] in (FIRST, LINK) \
+                        else (a_addr[0], a_addr[1])
+                    row_s = Sm[a_addr[1]]
+                    js = np.nonzero(row_s)[0]
+                    if js.size == 0:
+                        return None
+                    fj = int(js[0])
+                    vb, j = scope.col_id(i_blk, fj, n0v, nv)
+                    rowv, rhs, act = _live_eq_row(
+                        pd, scope.kind, ixr)
+                    return (vb, j, float(rowv[fj]), rhs, act)
+
+                cs = singleton_of(cand)
+                co = singleton_of(kept)
+                # the row carrying a singleton becomes row_singleton; the
+                # native kernel guarantees row[cand] = k * row[kept] on the
+                # stripped support, and _apply needs row_o = kf * row_s.
+                if cs is not None:
+                    row_s, row_o, s_info, o_info = cand, kept, cs, co
+                    kf = 1.0 / k        # row_kept = (1/k) * row_cand
+                else:
+                    if co is None:
+                        continue        # exactly-parallel pair: other pass
+                    row_s, row_o, s_info, o_info = kept, cand, co, cs
+                    kf = k              # row_cand = k * row_kept
+                if s_info is None or not s_info[4] or s_info[2] == 0.0:
+                    continue
+                if o_info is not None and not o_info[4]:
+                    continue
+                if _apply_nearly_parallel(pd, scope.kind, row_s, row_o,
+                                          s_info, o_info, kf):
+                    done_rows.update((row_s, row_o))
+                    n += 1
+                if pd.infeasible:
+                    return n
+    return n
+
+
+def _apply_nearly_parallel(pd, kind, row_s, row_o, s_info, o_info, k):
+    """Substitute x2 = t x1 + d and drop row_s (see nearly_parallel_rows).
+    row_o = k * row_s on the stripped support."""
+    vb2, j2, a2, b_s, _ = s_info
+    b_o = _eq_rhs(pd, *row_o)
+    c2_arr = pd.var_arrays(vb2)[0]
+    c2 = float(c2_arr[j2])
+
+    if o_info is None:
+        # t = 0: x2 is fixed by the row combination
+        d = (k * b_s - b_o) / (k * a2)
+        lo2, up2 = _var_bounds(pd, vb2, j2)
+        if d < lo2 - FEASTOL * max(1, abs(d)) \
+                or d > up2 + FEASTOL * max(1, abs(d)):
+            pd.infeasible = True
+            return False
+        # emitted BEFORE the fix so reverse replay runs it after x2 is
+        # restored (dual transfer: y_s = c2/a2, y_o -= y_s/k)
+        pd.emit("NEARLY_PARALLEL_SUB", vb2=vb2, j2=j2, a2=a2, c2=c2,
+                vb1=None, j1=None, a1=0.0, t=0.0, d=d, k=k,
+                row_s=row_s, row_o=row_o, b_s=b_s, b_o=b_o,
+                x2_bounds=(lo2, up2))
+        pd.fix_variable(vb2, j2, d, reason="nearly_parallel_fix")
+        # after the substitution row_s == row_o / k exactly
+        pd.remove_eq_row(row_s[0], row_s[1], "parallel_row",
+                         kept_blk=row_o[0], kept_r=row_o[1], factor=1.0 / k)
+        return True
+
+    vb1, j1, a1, _b_o2, _ = o_info
+    t = a1 / (k * a2)
+    d = (k * b_s - b_o) / (k * a2)
+    # transfer x2's bounds onto x1: t x1 + d in [l2, u2]
+    lo2, up2 = _var_bounds(pd, vb2, j2)
+    if t > 0:
+        nl = (lo2 - d) / t if np.isfinite(lo2) else None
+        nu = (up2 - d) / t if np.isfinite(up2) else None
+    else:
+        nl = (up2 - d) / t if np.isfinite(up2) else None
+        nu = (lo2 - d) / t if np.isfinite(lo2) else None
+    pd.emit("NEARLY_PARALLEL_SUB", vb2=vb2, j2=j2, a2=a2, c2=c2,
+            vb1=vb1, j1=j1, a1=a1, t=t, d=d, k=k,
+            row_s=row_s, row_o=row_o, b_s=b_s, b_o=b_o,
+            x2_bounds=(lo2, up2))
+    # fold objective: c2 x2 = c2 t x1 + c2 d
+    c1_arr = pd.var_arrays(vb1)[0]
+    c1_arr[j1] += c2 * t
+    pd.objective_offset += c2 * d
+    # remove row_s; deactivate x2 (its only entry was in row_s)
+    pd.remove_eq_row(row_s[0], row_s[1], "nearly_parallel_row",
+                     kept_blk=row_o[0], kept_r=row_o[1], factor=1.0 / k)
+    _, ixl2, xl2, ixu2, xu2, act2 = pd.var_arrays(vb2)
+    c2_arr[j2] = 0.0
+    ixl2[j2] = 1.0
+    xl2[j2] = -1.0
+    ixu2[j2] = 1.0
+    xu2[j2] = 1.0
+    act2[j2] = False
+    pd._zero_column(vb2, j2)
+    if nl is not None or nu is not None:
+        pd.tighten_bounds(vb1, j1, nl, nu, reason="nearly_parallel_rows")
+    return True
+
+
+# ======================================================================
 # Pass 5: bound strengthening (reference StochPresolverBoundStrengthening)
+# — vectorized over row scopes (presolve/vectorized.py); only the
+# variables that actually tighten go through the event-logging API
 # ======================================================================
 
 def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
-    """Activity-based implied bounds from eq and two-sided ineq rows."""
+    """Activity-based implied bounds from eq and ineq rows, computed for
+    ALL rows of a scope in one batched numpy pass."""
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
     n = 0
-    for rows, is_eq in ((list(_eq_rows(pd)), True),
-                        (list(_ineq_rows(pd)), False)):
-        for item in rows:
-            if is_eq:
-                blk, r, coeffs, b = item
-                lo_r = up_r = b
+    # accumulate the best candidate per variable across all scopes
+    best_lo0 = np.full(pd.c0.shape, -np.inf)
+    best_up0 = np.full(pd.c0.shape, np.inf)
+    best_loN = np.full(pd.cN.shape, -np.inf)
+    best_upN = np.full(pd.cN.shape, np.inf)
+
+    scopes = ([(s, b, b) for (s, b, _b) in V.eq_scopes(pd)]
+              + list(V.ineq_scopes(pd)))
+    n0, nv = pd.c0.size, pd.cN.shape[1]
+    for scope, lo_r, up_r in scopes:
+        act = V.activity(scope)
+        cand_lo, cand_up = V.implied_col_bounds(scope, act, lo_r, up_r)
+        if scope.kind == "first":
+            best_lo0 = np.maximum(best_lo0, cand_lo.max(axis=0))
+            best_up0 = np.minimum(best_up0, cand_up.min(axis=0))
+        elif scope.kind == "block":
+            best_lo0 = np.maximum(best_lo0, cand_lo[:, :, :n0].max((0, 1)))
+            best_up0 = np.minimum(best_up0, cand_up[:, :, :n0].min((0, 1)))
+            best_loN = np.maximum(best_loN, cand_lo[:, :, n0:].max(1))
+            best_upN = np.minimum(best_upN, cand_up[:, :, n0:].min(1))
+        else:   # link
+            best_lo0 = np.maximum(best_lo0, cand_lo[:, :n0].max(0))
+            best_up0 = np.minimum(best_up0, cand_up[:, :n0].min(0))
+            best_loN = np.maximum(
+                best_loN, cand_lo[:, n0:].max(0).reshape(pd.N, nv))
+            best_upN = np.minimum(
+                best_upN, cand_up[:, n0:].min(0).reshape(pd.N, nv))
+
+    lo0, up0, loN, upN = V.var_bound_arrays(pd)
+    for vb in [FIRST] + list(range(pd.N)):
+        if vb == FIRST:
+            bl, bu, cl, cu, active = best_lo0, best_up0, lo0, up0, \
+                pd.var_active0
+        else:
+            bl, bu, cl, cu, active = (best_loN[vb], best_upN[vb],
+                                      loN[vb], upN[vb], pd.var_activeN[vb])
+        improve_lo = (np.isfinite(bl) & (np.abs(bl) <= max_tighten)
+                      & (bl >= cl + 1e-7) & active)
+        improve_up = (np.isfinite(bu) & (np.abs(bu) <= max_tighten)
+                      & (bu <= cu - 1e-7) & active)
+        for j in np.nonzero(improve_lo | improve_up)[0]:
+            nl = float(bl[j]) if improve_lo[j] else None
+            nu = float(bu[j]) if improve_up[j] else None
+            if pd.tighten_bounds(vb, int(j), nl, nu,
+                                 reason="bound_strengthening"):
+                n += 1
+            if pd.infeasible:
+                return n
+    return n
+
+
+# ======================================================================
+# Redundant rows (reference StochPresolverModelCleanup::removeRedundantRows,
+# StochPresolverModelCleanup.h:34-36): an inequality row whose activity
+# bounds prove both sides can never be violated is removed (dual 0)
+# ======================================================================
+
+def redundant_rows(pd: PresolveData) -> int:
+    from pips_ipmpp_tpu.presolve import vectorized as V
+
+    n = 0
+    for scope, lo_r, up_r in V.ineq_scopes(pd):
+        act = V.activity(scope)
+        tol_lo = FEASTOL * np.maximum(1.0, np.abs(lo_r))
+        tol_up = FEASTOL * np.maximum(1.0, np.abs(up_r))
+        lo_ok = np.isneginf(lo_r) | (act["min_act"] >= lo_r - tol_lo)
+        up_ok = np.isposinf(up_r) | (act["max_act"] <= up_r + tol_up)
+        # also: provably infeasible rows
+        bad = ((act["min_act"] > up_r + tol_up)
+               | (act["max_act"] < lo_r - tol_lo))
+        redundant = lo_ok & up_ok & scope.active & (act["nnz"] > 0)
+        if np.any(bad & scope.active):
+            pd.infeasible = True
+            return n
+        idx = np.argwhere(redundant)
+        for ix in idx:
+            if scope.kind == "first":
+                pd.remove_ineq_row(FIRST, int(ix[0]), "redundant_row")
+            elif scope.kind == "block":
+                pd.remove_ineq_row(int(ix[0]), int(ix[1]), "redundant_row")
             else:
-                blk, r, coeffs, (il, lo_r, iu, up_r) = item
-                lo_r = lo_r if il > 0 else -np.inf
-                up_r = up_r if iu > 0 else np.inf
-            if len(coeffs) < 2:
-                continue
-            # row activity bounds
-            mins, maxs = [], []
-            for vb, j, a in coeffs:
-                lo, up = _var_bounds(pd, vb, j)
-                mins.append(a * lo if a > 0 else a * up)
-                maxs.append(a * up if a > 0 else a * lo)
-            mins = np.asarray(mins)
-            maxs = np.asarray(maxs)
-            n_min_inf = int(np.sum(np.isneginf(mins)))
-            n_max_inf = int(np.sum(np.isposinf(maxs)))
-            fin_min = float(np.sum(mins[np.isfinite(mins)]))
-            fin_max = float(np.sum(maxs[np.isfinite(maxs)]))
-            for idx, (vb, j, a) in enumerate(coeffs):
-                # activity sums excluding idx, inf-aware
-                inf_lo = n_min_inf - (1 if np.isneginf(mins[idx]) else 0)
-                inf_hi = n_max_inf - (1 if np.isposinf(maxs[idx]) else 0)
-                min_others = (-np.inf if inf_lo else
-                              fin_min - (mins[idx]
-                                         if np.isfinite(mins[idx]) else 0.0))
-                max_others = (np.inf if inf_hi else
-                              fin_max - (maxs[idx]
-                                         if np.isfinite(maxs[idx]) else 0.0))
-                # a*x_j <= up_r - min_others ; a*x_j >= lo_r - max_others
-                hi = up_r - min_others
-                lo2 = lo_r - max_others
-                if a > 0:
-                    nu = hi / a if np.isfinite(hi) else None
-                    nl = lo2 / a if np.isfinite(lo2) else None
-                else:
-                    nl = hi / a if np.isfinite(hi) else None
-                    nu = lo2 / a if np.isfinite(lo2) else None
-                cur_lo, cur_up = _var_bounds(pd, vb, j)
-                if nl is not None and (abs(nl) > max_tighten
-                                       or nl < cur_lo + 1e-7):
-                    nl = None
-                if nu is not None and (abs(nu) > max_tighten
-                                       or nu > cur_up - 1e-7):
-                    nu = None
-                if nl is not None or nu is not None:
-                    if pd.tighten_bounds(vb, j, nl, nu,
-                                         reason="bound_strengthening"):
-                        n += 1
-                    if pd.infeasible:
-                        return n
+                pd.remove_ineq_row(LINK, int(ix[0]), "redundant_row")
+            n += 1
     return n
 
 
@@ -342,24 +640,42 @@ def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
 # free column singletons in equality rows)
 # ======================================================================
 
+def _col_occurrence_counts(pd: PresolveData):
+    """Vectorized (eq_count, ineq_count) per variable.  Deactivated rows
+    and columns are zeroed by invariant, so plain nonzero counts are
+    exact."""
+    cnt_eq0 = (np.count_nonzero(pd.A0, 0) + np.count_nonzero(pd.F0, 0)
+               + (np.count_nonzero(pd.A, (0, 1)) if pd.A.size else 0))
+    cnt_iq0 = (np.count_nonzero(pd.C0, 0) + np.count_nonzero(pd.G0, 0)
+               + (np.count_nonzero(pd.C, (0, 1)) if pd.C.size else 0))
+    cnt_eqN = np.count_nonzero(pd.B, 1) + np.count_nonzero(pd.F, 1)
+    cnt_iqN = np.count_nonzero(pd.D, 1) + np.count_nonzero(pd.G, 1)
+    return cnt_eq0, cnt_iq0, cnt_eqN, cnt_iqN
+
+
 def singleton_columns(pd: PresolveData) -> int:
-    """A FREE variable appearing in exactly one equality row can absorb the
-    row: substitute x_j = (b_r - rest)/a_j, fold c_j into the objective and
-    the row-mates' costs, and remove both the column and the row.  The row
-    dual is determined at postsolve: y_r = c_j / a_j."""
+    """A variable appearing in exactly one equality row can absorb the row
+    when it is FREE, or when its bounds are IMPLIED by the row and the
+    other variables' bounds (the reference's bounded singleton variant,
+    StochPresolverSingletonColumns.C: implied-free detection): substitute
+    x_j = (b_r - rest)/a_j, fold c_j into the objective and the row-mates'
+    costs, and remove both the column and the row.  The row dual is
+    determined at postsolve: y_r = c_j / a_j."""
     n = 0
-    # count active-column occurrences per variable across eq AND ineq rows
+    cnt_eq0, cnt_iq0, cnt_eqN, cnt_iqN = _col_occurrence_counts(pd)
     for vb in [FIRST] + list(range(pd.N)):
         c, ixl, xl, ixu, xu, active = pd.var_arrays(vb)
-        for j in np.nonzero(active)[0]:
+        if vb == FIRST:
+            cand = active & (cnt_eq0 == 1) & (cnt_iq0 == 0)
+        else:
+            cand = active & (cnt_eqN[vb] == 1) & (cnt_iqN[vb] == 0)
+        for j in np.nonzero(cand)[0]:
             j = int(j)
-            if ixl[j] > 0 or ixu[j] > 0:
-                continue                      # only FREE variables
-            iq = pd.ineq_column(vb, j)
-            if iq:
-                continue
             eq = pd.eq_column(vb, j)
-            if len(eq) != 1:
+            if len(eq) != 1:      # re-validate (earlier subs this sweep)
+                continue
+            if (ixl[j] > 0 or ixu[j] > 0) and not _implied_free(
+                    pd, vb, j, eq[0]):
                 continue
             rb, r, a = eq[0]
             # the defining row's full coefficient list
@@ -386,6 +702,32 @@ def singleton_columns(pd: PresolveData) -> int:
             active[j] = False
             n += 1
     return n
+
+
+def _implied_free(pd: PresolveData, vb, j, eq_entry) -> bool:
+    """True when the bounds of x[vb,j] are implied by its single defining
+    equality row plus the other variables' bounds: the implied value range
+    (b - act_others)/a lies inside [xlow, xupp], so the explicit bounds
+    can never bind and the variable may be treated as free (reference
+    bounded-singleton-column case, StochPresolverSingletonColumns.C)."""
+    rb, r, a = eq_entry
+    b = _eq_rhs(pd, rb, r)
+    lo_o, up_o = 0.0, 0.0
+    for (kb, k, ak) in _eq_row_coeffs(pd, rb, r):
+        if kb == vb and k == j:
+            continue
+        lo_k, up_k = _var_bounds(pd, kb, k)
+        lo_o += ak * lo_k if ak > 0 else ak * up_k
+        up_o += ak * up_k if ak > 0 else ak * lo_k
+        if np.isneginf(lo_o) and np.isposinf(up_o):
+            return False
+    if a > 0:
+        imp_lo, imp_up = (b - up_o) / a, (b - lo_o) / a
+    else:
+        imp_lo, imp_up = (b - lo_o) / a, (b - up_o) / a
+    cur_lo, cur_up = _var_bounds(pd, vb, j)
+    tol = FEASTOL * max(1.0, abs(imp_lo), abs(imp_up))
+    return imp_lo >= cur_lo - tol and imp_up <= cur_up + tol
 
 
 def _eq_row_coeffs(pd, blk, r):

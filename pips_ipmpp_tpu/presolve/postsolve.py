@@ -114,6 +114,22 @@ class Postsolver:
                     for (cb, cr, ca) in d["iq_col"]:
                         acc += ca * sol.zdual(cb)[cr]
                     sol.ydual(rb)[r] = (d["c"] - acc) / a
+            elif k == "NEARLY_PARALLEL_SUB":
+                # rows: row_s: rest.x + a2 x2 = b_s; row_o = kf*row_s on
+                # the shared support plus its own singleton a1 x1.
+                # Presolve substituted x2 = t x1 + d and dropped row_s
+                # (StochPresolverParallelRows.C:788-876).  Reverse:
+                #   x2 = t x1 + d   (t = 0: x2 restored by FIXED_COLUMN)
+                #   y_s = c2/a2 (x2 appears only in row_s originally)
+                #   y_o -= y_s/kf  (shared-support stationarity)
+                vb2, j2, a2 = d["vb2"], d["j2"], d["a2"]
+                if d["t"] != 0.0:
+                    x1 = sol.x(d["vb1"])[d["j1"]]
+                    sol.x(vb2)[j2] = d["t"] * x1 + d["d"]
+                y_s = d["c2"] / a2
+                rs, ro = d["row_s"], d["row_o"]
+                sol.ydual(rs[0])[rs[1]] = y_s
+                sol.ydual(ro[0])[ro[1]] -= y_s / d["k"]
             elif k == "SINGLETON_COLUMN":
                 vb, j, a = d["vb"], d["j"], d["a"]
                 acc = 0.0

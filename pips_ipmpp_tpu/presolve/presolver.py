@@ -50,6 +50,7 @@ class Presolver:
             run("singleton_rows", passes.singleton_rows)
             run("column_fixation", passes.column_fixation)
             run("parallel_rows", passes.parallel_rows)
+            run("nearly_parallel_rows", passes.nearly_parallel_rows)
             run("singleton_columns", passes.singleton_columns)
             if self.enable_bound_strengthening:
                 run("bound_strengthening", passes.bound_strengthening)

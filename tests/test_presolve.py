@@ -217,3 +217,169 @@ def test_singleton_column():
     resid = postsolve_residuals(lp, sol)
     for name, v in resid.items():
         assert v < 1e-6, f"{name}={v}"
+
+
+def _anchor_block():
+    """Minimal block so make_arrowhead_lp has N >= 1."""
+    return [dict(
+        c=np.array([0.0]), A=np.zeros((1, 3)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 3)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+
+
+def test_nearly_parallel_rows_general():
+    """Two eq rows identical up to scale except for per-row singletons
+    (reference StochPresolverParallelRows.C:788-876):
+        x0 + x2 = 3      (singleton x2)
+        2 x0 + x1 = 5    (singleton x1)
+    Presolve eliminates one via x2 = t x1 + d.  Optimum: x0=2.5, x1=0,
+    x2=0.5, obj=3 (c = [1,1,1], x1 in [0,7], x2 in [0,4])."""
+    first = dict(
+        c=np.array([1.0, 1.0, 1.0]),
+        A=np.array([[1.0, 0.0, 1.0], [2.0, 1.0, 0.0]]),
+        b=np.array([3.0, 5.0]),
+        C=np.zeros((0, 3)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.ones(3), xlow=np.array([0.0, 0.0, 0.0]),
+        ixupp=np.ones(3), xupp=np.array([10.0, 7.0, 4.0]),
+        F0=np.zeros((0, 3)), G0=np.zeros((0, 3)),
+    )
+    lp = make_arrowhead_lp(_anchor_block(), first)
+    res = Presolver().presolve(lp)
+    assert res.stats.get("nearly_parallel_rows", 0) >= 1
+
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(base.getObjective() - 3.0) < 1e-6
+    assert abs(iface.getObjective() - 3.0) < 1e-6
+    sol = iface._postsolve()
+    assert abs(sol.x0[0] - 2.5) < 1e-5
+    assert abs(sol.x0[1] - 0.0) < 1e-5
+    assert abs(sol.x0[2] - 0.5) < 1e-5
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
+
+
+def test_nearly_parallel_rows_fix():
+    """Nearly-parallel pair where only one row has a singleton: the
+    combination FIXES the singleton variable.
+        x0 + x1 + x2 = 4   (singleton x2)
+        2 x0 + 2 x1  = 5
+    => x2 = (2*4 - 5)/2 = 1.5; optimum obj = 2.5 + 1.5 = 4."""
+    first = dict(
+        c=np.array([1.0, 1.0, 1.0]),
+        A=np.array([[1.0, 1.0, 1.0], [2.0, 2.0, 0.0]]),
+        b=np.array([4.0, 5.0]),
+        C=np.zeros((0, 3)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.ones(3), xlow=np.zeros(3),
+        ixupp=np.ones(3), xupp=np.array([10.0, 10.0, 4.0]),
+        F0=np.zeros((0, 3)), G0=np.zeros((0, 3)),
+    )
+    lp = make_arrowhead_lp(_anchor_block(), first)
+    res = Presolver().presolve(lp)
+    assert res.stats.get("nearly_parallel_rows", 0) >= 1
+
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(base.getObjective() - 4.0) < 1e-6
+    assert abs(iface.getObjective() - 4.0) < 1e-6
+    sol = iface._postsolve()
+    assert abs(sol.x0[2] - 1.5) < 1e-5
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
+
+
+def test_redundant_row_removed():
+    """Ineq row whose activity bounds can never violate its sides is
+    dropped (StochPresolverModelCleanup.h:34-36): x0 + x1 <= 100 with
+    x in [0,10]^2."""
+    first = dict(
+        c=np.array([-1.0, -2.0]),
+        A=np.zeros((0, 2)), b=np.zeros(0),
+        C=np.array([[1.0, 1.0], [1.0, 2.0]]),
+        iclow=np.zeros(2), clow=np.zeros(2),
+        icupp=np.array([1.0, 1.0]), cupp=np.array([100.0, 8.0]),
+        ixlow=np.ones(2), xlow=np.zeros(2),
+        ixupp=np.ones(2), xupp=np.array([10.0, 10.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    blocks = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    lp = make_arrowhead_lp(blocks, first)
+    pd = PresolveData.from_lp(lp)
+    from pips_ipmpp_tpu.presolve.passes import redundant_rows
+    k = redundant_rows(pd)
+    assert k == 1
+    assert not pd.rowI_active0[0]      # the <=100 row
+    assert pd.rowI_active0[1]          # the binding <=8 row stays
+
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-6
+    sol = iface._postsolve()
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
+
+
+def test_bounded_singleton_column_implied_free():
+    """Bounded column singleton whose bounds are implied by its defining
+    row (StochPresolverSingletonColumns.C implied-free case): x2 in
+    [-10,10] but row x1 + 2 x2 = 4 with x1 in [0,10] implies
+    x2 in [-3,2] -> substituted like a free singleton."""
+    first = dict(
+        c=np.array([1.0, 3.0]),
+        A=np.array([[1.0, 2.0]]), b=np.array([4.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0, 1.0]), xlow=np.array([0.0, -10.0]),
+        ixupp=np.array([1.0, 1.0]), xupp=np.array([10.0, 10.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    blocks = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    lp = make_arrowhead_lp(blocks, first)
+    res = Presolver().presolve(lp)
+    assert res.stats.get("singleton_columns", 0) == 1
+
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - 1.0) < 1e-6
+    sol = iface._postsolve()
+    assert abs(sol.x0[0] - 10.0) < 1e-6
+    assert abs(sol.x0[1] - (-3.0)) < 1e-6
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
