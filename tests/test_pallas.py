@@ -34,14 +34,20 @@ def test_backend_with_pallas_chol_interpret(monkeypatch):
     from pips_ipmpp_tpu.ipm.solver import IPMSolver
     from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
     from pips_ipmpp_tpu.io.synthetic import random_arrowhead_lp
+    from pips_ipmpp_tpu.core.options import ScalerType
+    from pips_ipmpp_tpu.scale import make_scaler
 
     # uniform sizes with mE+mI = 64 to satisfy the kernel width constraint
     lp = random_arrowhead_lp(0, N=2, n=48, mE=32, mI=32, n0=4, m0E=2,
                              m0I=2, mEl=2, mIl=2, dtype=jnp.float32)
+    # ldl_kernel=False: the fused LDL kernel otherwise takes priority over
+    # the pallas_chol branch on the f32 path (arrow_backend.py:327)
     solver = IPMSolver(partial(ArrowBackend, factor_dtype=jnp.float32,
-                               pallas_chol=True), Options())
+                               pallas_chol=True, ldl_kernel=False),
+                       Options())
     # reference objective from the robust f64 solve of the same LP
     ref = IPMSolver(ArrowBackend, Options()).solve(lp.astype(jnp.float64))
-    res = solver.solve(lp)
+    # f32 factorization needs equilibrated data (this LP's raw mu0 ~ 1e6)
+    res = solver.solve(make_scaler(ScalerType.EQUILIBRIUM).scale(lp))
     assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(res.objective - ref.objective) < 1e-3
