@@ -1,0 +1,304 @@
+"""Batched ELL sparse storage for the big per-block matrices.
+
+The reference's leaf engine stores every block sparsely (CSR static +
+dynamic, SparseStorage.C:1-2198) and factorizes it with a sparse direct
+solver (PardisoSchurSolver.C:84-252).  On TPU the direct analogue —
+scalar-indexed supernodal elimination — fights the hardware; the
+tpu-native representation is a *static-shape batched ELL*:
+
+    val [N, m, K]   per-row nonzero values, K = max row nnz (zero-padded)
+    col [N, m, K]   column indices (padded entries point at column 0 with
+                    val 0, so no masking is needed in products)
+
+Matvecs become one `take_along_axis` gather plus a K-contraction — static
+shapes, no scatter (the transpose is stored explicitly, built once on the
+host), batched over blocks and over multiple right-hand sides so the MXU
+and the gather unit stay busy.  Leaf *solves* then go matrix-free
+(Jacobi-preconditioned CG on the SPD condensed system) instead of through
+a factorization — see linalg/sparse_backend.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pips_ipmpp_tpu.core.lp import ArrowheadLP, _register
+
+
+@_register
+@dataclass
+class Ell:
+    """Batched fixed-width sparse rows: [N, m, K] values + column ids."""
+    val: jax.Array   # [N, m, K] floating
+    col: jax.Array   # [N, m, K] int32, padded entries -> col 0 / val 0
+
+    @property
+    def N(self) -> int:
+        return self.val.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.val.shape[1]
+
+    @property
+    def K(self) -> int:
+        return self.val.shape[2]
+
+    def astype(self, dtype) -> "Ell":
+        return Ell(self.val.astype(dtype), self.col)
+
+
+def _ell_fill(rows, cols, vals, m, K, dtype):
+    """Pack (row, col, val) triplets with rows sorted into [m, K] ELL."""
+    val = np.zeros((m, K), dtype)
+    col = np.zeros((m, K), np.int32)
+    # slot index within each equal-row run (rows must be sorted)
+    slot = np.arange(len(rows)) - np.searchsorted(rows, rows, side="left")
+    val[rows, slot] = vals
+    col[rows, slot] = cols
+    return val, col
+
+
+def ell_from_triplets(rows, cols, vals, m, n, N_batch=None,
+                      K: int | None = None) -> Ell:
+    """Build ELL from per-batch triplet lists (host-side).
+
+    `rows`/`cols`/`vals` are length-N lists of 1-D arrays (one per block).
+    Duplicate (row, col) entries are kept as separate slots (they sum in
+    products, matching COO semantics)."""
+    N = len(rows)
+    if K is None:
+        K = 1
+        for r in rows:
+            if len(r):
+                K = max(K, int(np.bincount(r, minlength=m).max()))
+    val = np.zeros((N, m, K), np.asarray(vals[0]).dtype if len(vals) else
+                   np.float64)
+    col = np.zeros((N, m, K), np.int32)
+    for i in range(N):
+        r = np.asarray(rows[i])
+        order = np.argsort(r, kind="stable")
+        val[i], col[i] = _ell_fill(r[order], np.asarray(cols[i])[order],
+                                   np.asarray(vals[i])[order], m, K,
+                                   val.dtype)
+    return Ell(jnp.asarray(val), jnp.asarray(col))
+
+
+def ell_from_dense(M: np.ndarray, K: int | None = None) -> Ell:
+    """Build ELL from a batched dense [N, m, n] matrix (host-side)."""
+    M = np.asarray(M)
+    N, m, n = M.shape
+    if K is None:
+        K = max(int((M != 0.0).sum(axis=2).max()), 1)
+    val = np.zeros((N, m, K), M.dtype)
+    col = np.zeros((N, m, K), np.int32)
+    for i in range(N):
+        r, c = np.nonzero(M[i])          # r already sorted (row-major)
+        val[i], col[i] = _ell_fill(r, c, M[i][r, c], m, K, M.dtype)
+    return Ell(jnp.asarray(val), jnp.asarray(col))
+
+
+def ell_transpose(ell: Ell, n: int) -> Ell:
+    """Explicit transpose ELL (host-side, once at build): rows of the
+    transpose gather the same nonzeros by column.  Static sparsity means
+    this replaces every scatter in transpose products with a gather."""
+    val = np.asarray(ell.val)
+    col = np.asarray(ell.col)
+    N, m, K = val.shape
+    ents = []
+    Kt = 1
+    for i in range(N):
+        r, k = np.nonzero(val[i])
+        c = col[i][r, k]
+        order = np.argsort(c, kind="stable")
+        ents.append((c[order], r[order], val[i][r, k][order]))
+        if len(c):
+            Kt = max(Kt, int(np.bincount(c, minlength=n).max()))
+    tval = np.zeros((N, n, Kt), val.dtype)
+    tcol = np.zeros((N, n, Kt), np.int32)
+    for i, (c, r, v) in enumerate(ents):
+        tval[i], tcol[i] = _ell_fill(c, r, v, n, Kt, val.dtype)
+    return Ell(jnp.asarray(tval), jnp.asarray(tcol))
+
+
+def ell_to_dense(ell: Ell, n: int) -> jax.Array:
+    """Densify (tests / small problems only)."""
+    N, m, K = ell.val.shape
+    out = jnp.zeros((N, m, n), ell.val.dtype)
+    rows = jnp.broadcast_to(jnp.arange(m)[None, :, None], (N, m, K))
+    batch = jnp.broadcast_to(jnp.arange(N)[:, None, None], (N, m, K))
+    return out.at[batch, rows, ell.col].add(ell.val)
+
+
+# ----------------------------------------------------------------------
+# Products (all static-shape; jit/vmap/shard_map safe)
+# ----------------------------------------------------------------------
+
+def ell_mv(ell: Ell, x: jax.Array) -> jax.Array:
+    """y[i, r] = sum_k val[i,r,k] * x[i, col[i,r,k]];  x: [N, n] -> [N, m]."""
+    N, m, K = ell.val.shape
+    g = jnp.take_along_axis(x, ell.col.reshape(N, m * K), axis=1)
+    return jnp.sum(ell.val * g.reshape(N, m, K), axis=2)
+
+
+def ell_mv_multi(ell: Ell, X: jax.Array) -> jax.Array:
+    """Multi-RHS matvec;  X: [N, n, c] -> [N, m, c]."""
+    N, m, K = ell.val.shape
+    c = X.shape[2]
+    idx = jnp.broadcast_to(ell.col.reshape(N, m * K)[:, :, None],
+                           (N, m * K, c))
+    g = jnp.take_along_axis(X, idx, axis=1).reshape(N, m, K, c)
+    return jnp.einsum("imk,imkc->imc", ell.val, g)
+
+
+def ell_sq_diag(ell: Ell, w: jax.Array) -> jax.Array:
+    """diag of (M W M') per row: sum_k val^2 * w[col];  w: [N, n] -> [N, m]."""
+    N, m, K = ell.val.shape
+    g = jnp.take_along_axis(w, ell.col.reshape(N, m * K), axis=1)
+    return jnp.sum(ell.val ** 2 * g.reshape(N, m, K), axis=2)
+
+
+# ----------------------------------------------------------------------
+# Sparse arrowhead LP
+# ----------------------------------------------------------------------
+
+@_register
+@dataclass
+class SparseArrowheadLP:
+    """ArrowheadLP with the big diagonal blocks B [N,mE,n] / D [N,mI,n] in
+    ELL form (forward + explicit transpose).  The borders to the small
+    first stage (A, C: [N, m, n0]) and the thin linking strips
+    (F, G: [N, ml, n]) stay dense — their minor dimension is the small
+    root/link size, so dense is already the bandwidth-optimal layout.
+
+    Mirrors reference DistributedProblem over SparseSymmetric/GenMatrix
+    (DistributedProblem.hpp, SparseStorage.C); the dense twin is
+    core/lp.py:ArrowheadLP."""
+
+    # ---- first stage (block 0), replicated: same as ArrowheadLP ----
+    c0: jax.Array
+    A0: jax.Array
+    b0: jax.Array
+    C0: jax.Array
+    iclow0: jax.Array
+    clow0: jax.Array
+    icupp0: jax.Array
+    cupp0: jax.Array
+    ixlow0: jax.Array
+    xlow0: jax.Array
+    ixupp0: jax.Array
+    xupp0: jax.Array
+
+    # ---- per-block ----
+    cN: jax.Array        # [N, n]
+    A: jax.Array         # [N, mE, n0] dense border
+    B: Ell               # [N, mE, n] sparse diag
+    Bt: Ell              # its transpose [N, n, mE]
+    bN: jax.Array
+    C: jax.Array         # [N, mI, n0] dense border
+    D: Ell               # [N, mI, n] sparse diag
+    Dt: Ell
+    iclowN: jax.Array
+    clowN: jax.Array
+    icuppN: jax.Array
+    cuppN: jax.Array
+    ixlowN: jax.Array
+    xlowN: jax.Array
+    ixuppN: jax.Array
+    xuppN: jax.Array
+
+    # ---- linking rows ----
+    F0: jax.Array
+    F: jax.Array         # [N, mEl, n] dense strip
+    bl: jax.Array
+    G0: jax.Array
+    G: jax.Array         # [N, mIl, n]
+    iclowl: jax.Array
+    clowl: jax.Array
+    icuppl: jax.Array
+    cuppl: jax.Array
+
+    # ------------------------------------------------------------------
+    @property
+    def N(self) -> int:
+        return self.cN.shape[0]
+
+    @property
+    def n0(self) -> int:
+        return self.c0.shape[-1]
+
+    @property
+    def n(self) -> int:
+        return self.cN.shape[1]
+
+    @property
+    def mE(self) -> int:
+        return self.bN.shape[1]
+
+    @property
+    def mI(self) -> int:
+        return self.iclowN.shape[1]
+
+    @property
+    def m0E(self) -> int:
+        return self.b0.shape[0]
+
+    @property
+    def m0I(self) -> int:
+        return self.iclow0.shape[0]
+
+    @property
+    def mEl(self) -> int:
+        return self.bl.shape[0]
+
+    @property
+    def mIl(self) -> int:
+        return self.iclowl.shape[0]
+
+    def total_vars(self) -> int:
+        return self.n0 + self.N * self.n
+
+    def total_eq(self) -> int:
+        return self.m0E + self.N * self.mE + self.mEl
+
+    def total_ineq(self) -> int:
+        return self.m0I + self.N * self.mI + self.mIl
+
+    def astype(self, dtype) -> "SparseArrowheadLP":
+        return jax.tree.map(
+            lambda x: x if jnp.issubdtype(x.dtype, jnp.integer)
+            else jnp.asarray(x, dtype), self)
+
+    def datanorm(self) -> jax.Array:
+        leaves = [self.c0, self.A0, self.b0, self.C0, self.cN, self.A,
+                  self.B.val, self.bN, self.C, self.D.val, self.F0, self.F,
+                  self.bl, self.G0, self.G,
+                  self.clow0 * self.iclow0, self.cupp0 * self.icupp0,
+                  self.xlow0 * self.ixlow0, self.xupp0 * self.ixupp0,
+                  self.clowN * self.iclowN, self.cuppN * self.icuppN,
+                  self.xlowN * self.ixlowN, self.xuppN * self.ixuppN,
+                  self.clowl * self.iclowl, self.cuppl * self.icuppl]
+        return jnp.max(jnp.stack(
+            [jnp.max(jnp.abs(l)) if l.size else jnp.zeros(l.dtype)
+             for l in leaves]))
+
+
+def sparse_from_dense(lp: ArrowheadLP, K: int | None = None
+                      ) -> SparseArrowheadLP:
+    """Convert a (dense) ArrowheadLP whose B/D blocks are sparse in content
+    into ELL storage (host-side; tests and small fixture ingestion)."""
+    B = ell_from_dense(np.asarray(lp.B), K)
+    D = ell_from_dense(np.asarray(lp.D), K)
+    return SparseArrowheadLP(
+        c0=lp.c0, A0=lp.A0, b0=lp.b0, C0=lp.C0,
+        iclow0=lp.iclow0, clow0=lp.clow0, icupp0=lp.icupp0, cupp0=lp.cupp0,
+        ixlow0=lp.ixlow0, xlow0=lp.xlow0, ixupp0=lp.ixupp0, xupp0=lp.xupp0,
+        cN=lp.cN, A=lp.A, B=B, Bt=ell_transpose(B, lp.n), bN=lp.bN,
+        C=lp.C, D=D, Dt=ell_transpose(D, lp.n),
+        iclowN=lp.iclowN, clowN=lp.clowN, icuppN=lp.icuppN, cuppN=lp.cuppN,
+        ixlowN=lp.ixlowN, xlowN=lp.xlowN, ixuppN=lp.ixuppN, xuppN=lp.xuppN,
+        F0=lp.F0, F=lp.F, bl=lp.bl, G0=lp.G0, G=lp.G,
+        iclowl=lp.iclowl, clowl=lp.clowl, icuppl=lp.icuppl, cuppl=lp.cuppl)

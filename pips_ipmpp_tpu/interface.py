@@ -14,6 +14,11 @@ from pips_ipmpp_tpu.core.options import Options, PresolverType, ScalerType
 from pips_ipmpp_tpu.core.status import TerminationStatus
 
 
+def _is_sparse_arrowhead(lp) -> bool:
+    from pips_ipmpp_tpu.core.sparse import SparseArrowheadLP
+    return isinstance(lp, SparseArrowheadLP)
+
+
 def resolve_factor_dtype(opts: Options):
     """Mixed-precision policy: factorize in f32 on accelerators (MXU speed;
     f64 on TPU is software-emulated and ~90x slower), f64 on CPU; residuals
@@ -71,6 +76,11 @@ class PIPSIPMppTPUInterface:
                 partial(ArrowBackend, factor_dtype=fd,
                         blockwise_sc=self.options.sc_blockwise),
                 self.options)
+        elif _is_sparse_arrowhead(lp):
+            from pips_ipmpp_tpu.linalg.sparse_backend import \
+                SparseArrowBackend
+            self._solver = IPMSolver(
+                partial(SparseArrowBackend, factor_dtype=fd), self.options)
         else:
             raise TypeError(f"unsupported problem type {type(lp)}")
 

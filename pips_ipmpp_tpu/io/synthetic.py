@@ -155,3 +155,82 @@ def random_hier_arrowhead_lp(seed, N=8, n_groups=2, n=5, mE=2, mI=3,
         ixlow0=ones(xl0), xlow0=arr(xl0), ixupp0=ones(xu0), xupp0=arr(xu0),
         ixlowN=ones(xlN), xlowN=arr(xlN), ixuppN=ones(xuN), xuppN=arr(xuN),
     )
+
+
+def random_sparse_arrowhead_lp(seed, N=4, n=4096, mE=2048, mI=2048,
+                               nnz_per_row=8, n0=32, m0E=8, m0I=8,
+                               mEl=8, mIl=8, dtype=jnp.float64):
+    """Feasible-by-construction SPARSE arrowhead LP, built directly in ELL
+    form — the dense [N, m, n] blocks are never materialized, so this
+    scales to the reference's target block sizes (10^4+ rows at ~10
+    nnz/row, SURVEY.md §0) where batched-dense storage is impossible.
+
+    B gets a unit-ish "diagonal" (col r % n) for full row rank plus
+    random off-diagonal entries; D is fully random."""
+    from pips_ipmpp_tpu.core.sparse import (Ell, SparseArrowheadLP,
+                                            ell_transpose)
+    rng = np.random.default_rng(seed)
+    K = nnz_per_row
+
+    def rand_ell(m, diag: bool):
+        col = rng.integers(0, n, size=(N, m, K)).astype(np.int32)
+        val = rng.normal(size=(N, m, K)) * (0.4 / np.sqrt(K))
+        if diag:
+            col[:, :, 0] = (np.arange(m) % n)[None, :]
+            val[:, :, 0] = 1.0 + 0.1 * rng.random((N, m))
+        return Ell(jnp.asarray(val), jnp.asarray(col))
+
+    B = rand_ell(mE, diag=True)
+    D = rand_ell(mI, diag=False)
+    Bt = ell_transpose(B, n)
+    Dt = ell_transpose(D, n)
+
+    def ell_mv_np(e, x):  # host-side matvec for rhs construction
+        v = np.asarray(e.val)
+        c = np.asarray(e.col)
+        return np.einsum("imk,imk->im",
+                         v, np.take_along_axis(x, c.reshape(N, -1),
+                                               axis=1).reshape(v.shape))
+
+    x0 = rng.normal(size=n0) * 0.5
+    xi = rng.normal(size=(N, n)) * 0.5
+    A = rng.normal(size=(N, mE, n0)) * 0.3
+    C = rng.normal(size=(N, mI, n0)) * 0.3
+    F = rng.normal(size=(N, mEl, n)) * (0.2 / np.sqrt(n))
+    G = rng.normal(size=(N, mIl, n)) * (0.2 / np.sqrt(n))
+    A0 = rng.normal(size=(m0E, n0)) + np.eye(m0E, n0)
+    C0 = rng.normal(size=(m0I, n0))
+    F0 = rng.normal(size=(mEl, n0)) * 0.2
+    G0 = rng.normal(size=(mIl, n0)) * 0.2
+
+    bN = np.einsum("imk,k->im", A, x0) + ell_mv_np(B, xi)
+    CxN = np.einsum("imk,k->im", C, x0) + ell_mv_np(D, xi)
+    b0 = A0 @ x0
+    Cx0 = C0 @ x0
+    bl = F0 @ x0 + np.einsum("iln,in->l", F, xi)
+    Gx = G0 @ x0 + np.einsum("iln,in->l", G, xi)
+
+    def box(v, width=1.0):
+        lo = v - width * (0.5 + rng.random(np.shape(v)))
+        up = v + width * (0.5 + rng.random(np.shape(v)))
+        return lo, up
+
+    cl0, cu0 = box(Cx0)
+    clN, cuN = box(CxN)
+    cll, cul = box(Gx)
+    xl0, xu0 = box(x0)
+    xlN, xuN = box(xi)
+
+    arr = lambda v: jnp.asarray(v, dtype)
+    ones = lambda v: jnp.ones(np.shape(v), dtype)
+    cast = lambda e: Ell(jnp.asarray(e.val, dtype), e.col)
+    return SparseArrowheadLP(
+        c0=arr(rng.normal(size=n0)), A0=arr(A0), b0=arr(b0), C0=arr(C0),
+        iclow0=ones(cl0), clow0=arr(cl0), icupp0=ones(cu0), cupp0=arr(cu0),
+        ixlow0=ones(xl0), xlow0=arr(xl0), ixupp0=ones(xu0), xupp0=arr(xu0),
+        cN=arr(rng.normal(size=(N, n))), A=arr(A), B=cast(B), Bt=cast(Bt),
+        bN=arr(bN), C=arr(C), D=cast(D), Dt=cast(Dt),
+        iclowN=ones(clN), clowN=arr(clN), icuppN=ones(cuN), cuppN=arr(cuN),
+        ixlowN=ones(xlN), xlowN=arr(xlN), ixuppN=ones(xuN), xuppN=arr(xuN),
+        F0=arr(F0), F=arr(F), bl=arr(bl), G0=arr(G0), G=arr(G),
+        iclowl=ones(cll), clowl=arr(cll), icuppl=ones(cul), cuppl=arr(cul))

@@ -231,6 +231,21 @@ class IPMSolver:
                            history=history)
 
     # ------------------------------------------------------------------
+    def solve_fused_async(self, lp):
+        """Dispatch one fully on-device solve WITHOUT synchronizing.
+
+        Returns the raw (iterate, info) device pytree: dispatches queue
+        behind each other on the device, so a stream of solves runs at
+        device throughput — host/tunnel latency is paid once, at the
+        first fetch (production serving pattern; the reference's MPI
+        outer loop synchronizes every iteration instead,
+        PIPSIPMppSolver.cpp:29-194)."""
+        from pips_ipmpp_tpu.ipm.device_loop import solve_on_device
+        if not hasattr(self, "_fused"):
+            self._fused = jax.jit(
+                partial(solve_on_device, self.be_ctor, self.opts))
+        return self._fused(lp)
+
     def solve_fused(self, lp) -> SolveResult:
         """Fully on-device solve (lax.while_loop outer loop, one compile,
         zero host roundtrips until done) — see ipm.device_loop."""

@@ -1,0 +1,137 @@
+"""Sparse (ELL + matrix-free CG leaf) path: core/sparse.py,
+linalg/sparse_backend.py — the TPU-native stand-in for the reference's
+sparse leaf engine (SparseStorage.C, PardisoSchurSolver.C:84-252)."""
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pips_ipmpp_tpu.core.options import Options
+from pips_ipmpp_tpu.core.sparse import (Ell, ell_from_dense, ell_mv,
+                                        ell_mv_multi, ell_sq_diag,
+                                        ell_to_dense, ell_transpose,
+                                        sparse_from_dense)
+from pips_ipmpp_tpu.core.spaces import RVec, XVec
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.io.synthetic import (random_arrowhead_lp,
+                                         random_sparse_arrowhead_lp)
+from pips_ipmpp_tpu.ipm.solver import IPMSolver
+from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.sparse_backend import SparseArrowBackend
+
+
+def test_ell_roundtrip_and_products():
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(3, 10, 14)) * (rng.random((3, 10, 14)) < 0.3)
+    e = ell_from_dense(M)
+    assert np.allclose(ell_to_dense(e, 14), M)
+    et = ell_transpose(e, 14)
+    assert np.allclose(ell_to_dense(et, 10), np.swapaxes(M, 1, 2))
+    x = rng.normal(size=(3, 14))
+    assert np.allclose(ell_mv(e, jnp.asarray(x)),
+                       np.einsum("imn,in->im", M, x))
+    X = rng.normal(size=(3, 14, 5))
+    assert np.allclose(ell_mv_multi(e, jnp.asarray(X)),
+                       np.einsum("imn,inc->imc", M, X))
+    w = rng.random((3, 14))
+    assert np.allclose(ell_sq_diag(e, jnp.asarray(w)),
+                       np.einsum("imn,in,imn->im", M, w, M))
+
+
+def test_ell_duplicate_entries_sum():
+    # COO semantics: duplicate (row, col) slots add in products
+    val = jnp.asarray([[[1.0, 2.0]]])
+    col = jnp.asarray([[[3, 3]]], dtype=jnp.int32)
+    e = Ell(val, col)
+    x = jnp.asarray([[0.0, 0.0, 0.0, 5.0]])
+    assert float(ell_mv(e, x)[0, 0]) == 15.0
+
+
+@pytest.fixture(scope="module")
+def small_pair():
+    lp = random_arrowhead_lp(3, N=4, n=24, mE=10, mI=12, n0=6, m0E=3,
+                             m0I=3, mEl=3, mIl=3)
+    return lp, sparse_from_dense(lp)
+
+
+def test_sparse_backend_matches_dense(small_pair):
+    lp, slp = small_pair
+    ref = IPMSolver(ArrowBackend, Options()).solve(lp)
+    res = IPMSolver(SparseArrowBackend, Options()).solve(slp)
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(res.objective - ref.objective) < 1e-8
+    assert res.iterations <= ref.iterations + 2
+
+
+def test_sparse_backend_fused_loop(small_pair):
+    lp, slp = small_pair
+    ref = IPMSolver(ArrowBackend, Options()).solve(lp)
+    res = IPMSolver(SparseArrowBackend, Options()).solve_fused(slp)
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(res.objective - ref.objective) < 1e-8
+
+
+def test_sparse_generator_end_to_end():
+    lp = random_sparse_arrowhead_lp(1, N=4, n=192, mE=96, mI=96,
+                                    nnz_per_row=6, n0=8, m0E=3, m0I=3,
+                                    mEl=3, mIl=3)
+    res = IPMSolver(partial(SparseArrowBackend, cg_iters=300),
+                    Options()).solve(lp)
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    # KKT quality at the solution, not just termination flags
+    assert res.mu < 1e-6
+    assert res.residual_norm < 1e-5 * max(float(lp.datanorm()), 1.0)
+
+
+def test_sparse_large_block_scale():
+    """10^4-row-class blocks: ELL storage is ~0.1% of dense (which would
+    be 2 GB and is never materialized); the condensed leaf machinery
+    stays consistent at this size."""
+    lp = random_sparse_arrowhead_lp(0, N=2, n=8192, mE=4096, mI=4096,
+                                    nnz_per_row=8, n0=16, m0E=4, m0I=4,
+                                    mEl=4, mIl=4)
+    dense_bytes = lp.N * (lp.mE + lp.mI) * lp.n * 8
+    ell_bytes = sum(int(e.val.size) * 8 + int(e.col.size) * 4
+                    for e in (lp.B, lp.Bt, lp.D, lp.Dt))
+    assert dense_bytes > 1e9
+    assert ell_bytes < 0.01 * dense_bytes
+
+    be = SparseArrowBackend(lp, cg_iters=300)
+    # factorize + one reduced solve, then check the augmented residual —
+    # the same consistency contract the dense backend's refinement uses
+    Dx = XVec(jnp.ones(lp.n0), jnp.ones((lp.N, lp.n)))
+    Ominv = RVec(jnp.ones(lp.m0I), jnp.ones((lp.N, lp.mI)),
+                 jnp.ones(lp.mIl))
+    fac = be.factorize(Dx, Ominv, 1e-8, 1e-8)
+    assert bool(be.factorization_ok(fac))
+
+    rng = np.random.default_rng(7)
+    from pips_ipmpp_tpu.ipm.formulation import ReducedRhs
+    rx = XVec(jnp.asarray(rng.normal(size=lp.n0)),
+              jnp.asarray(rng.normal(size=(lp.N, lp.n))))
+    rA = RVec(jnp.asarray(rng.normal(size=lp.m0E)),
+              jnp.asarray(rng.normal(size=(lp.N, lp.mE))),
+              jnp.asarray(rng.normal(size=lp.mEl)))
+    rz = RVec(jnp.asarray(rng.normal(size=lp.m0I)),
+              jnp.asarray(rng.normal(size=(lp.N, lp.mI))),
+              jnp.asarray(rng.normal(size=lp.mIl)))
+    rhs = ReducedRhs(rhat_x=rx, rA=rA, rhat_z=rz, rbar_z=rz)
+    p0 = -rx.first
+    q0 = jnp.concatenate([-rA.first, -rz.first, -rA.link, -rz.link])
+    rho_x = -rx.blocks
+    rho_m = jnp.concatenate([-rA.blocks, -rz.blocks], axis=1)
+    state = be._solve_core(fac, p0, q0, rho_x, rho_m)
+    errs = be._aug_residual(fac, p0, q0, rho_x, rho_m, *state)
+    err = max(float(jnp.max(jnp.abs(e))) for e in errs if e.size)
+    assert err < 1e-6
+
+
+def test_sparse_astype_preserves_int_cols(small_pair):
+    _, slp = small_pair
+    s32 = slp.astype(jnp.float32)
+    assert s32.B.col.dtype == jnp.int32
+    assert s32.B.val.dtype == jnp.float32
+    assert s32.cN.dtype == jnp.float32
