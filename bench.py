@@ -1,16 +1,31 @@
-"""Headline benchmark: full IPM solve to optimality on a
-production-shaped arrowhead LP (one chip), fused on-device loop.
+"""Headline benchmark: full IPM solves to optimality on production-shaped
+arrowhead LPs (one chip), fused on-device loop.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The metric is IPM iterations/second of a CONVERGED solve — each iteration =
-batched factorization of all block KKTs (condensed Cholesky at true-f32
-matmul precision) + Schur assembly + root factorization + predictor,
-corrector and Gondzio solves + adaptive refinement — with the entire outer
-loop on device (lax.while_loop). The reference publishes no absolute
-numbers (BASELINE.md), so vs_baseline compares against the first recorded
-value of this bench (BENCH_NOMINAL.json); 1.0 until then.
+The headline metric is SUSTAINED IPM iterations/second across a stream of
+16 converged solves of the flagship shape (64 blocks x 256 vars), each a
+fully fused on-device `lax.while_loop` dispatched asynchronously and
+fetched once at the end — the production serving pattern.  Each iteration
+= batched factorization of all block KKTs (fused Pallas LDL^T+inverse at
+true-f32 matmul precision) + Schur assembly + root factorization +
+predictor/corrector/Gondzio solves + adaptive refinement.
+
+Extra keys (same line):
+  single_solve_ms / tto_ms   one-solve latency incl. dispatch+fetch
+                             through the host tunnel (time-to-optimality)
+  analytic_tflops_per_s      analytic FLOPs/iter (factorize dominates;
+                             see _flops_per_iter) over sustained time
+  mfu_pct                    vs. PEAK_TFLOPS (v5e bf16 dense peak 197 by
+                             default; override with env PEAK_TFLOPS)
+  cfg_512blk / cfg_linkdom   scale + linking-dominated configs
+                             (BASELINE.json north-star shapes)
+
+The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
+compares against the first recorded value of this bench
+(BENCH_NOMINAL.json, single-dispatch protocol of round 1).
 """
+import dataclasses
 import json
 import os
 import sys
@@ -22,15 +37,60 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# production shape: 64 scenario blocks, 256 vars / 128+128 rows each,
+# flagship: 64 scenario blocks, 256 vars / 128+128 rows each,
 # 64 first-stage vars, 32+32 linking rows
 SHAPE = dict(N=64, n=256, mE=128, mI=128, n0=64, m0E=32, m0I=32,
              mEl=32, mIl=32)
+STREAM = 16
+
+
+def _flops_per_iter(N, n, mE, mI, n0, mEl, mIl, n_core_solves=6):
+    """Analytic per-iteration FLOPs of the fused arrowhead iteration
+    (dominant terms; elementwise ops excluded)."""
+    a = mE + mI
+    nS = n0 + mEl + mIl
+    fact = (2 * N * a * a * n          # Neq assembly  M Einv M'
+            + (8 / 3) * N * a ** 3     # LDL^T + unit-lower inverse + Ninv
+            + 2 * N * a * n * nS       # border rhs
+            + 2 * N * a * a * nS       # Um = Ninv @ rhs
+            + 2 * N * a * n * nS       # Ux back-substitution
+            + 2 * N * nS * (n0 * a + (mEl + mIl) * n))   # Schur contrib
+    core = (2 * N * (2 * a * n + a * a)          # leaf solve
+            + 2 * N * (n + a) * nS               # Ltsolve caches
+            + 2 * N * (n0 * a + (mEl + mIl) * n))  # border products
+    return fact + n_core_solves * core
+
+
+def _stream_lps(lp, k):
+    return [dataclasses.replace(lp, c0=lp.c0 * (1.0 + 1e-5 * i),
+                                cN=lp.cN * (1.0 + 1e-5 * i))
+            for i in range(k)]
+
+
+def _run_config(solver, lps):
+    """Compile + converged stream; returns (iters_total, sustained_s,
+    single_solve_s, iters_single)."""
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+
+    res = solver.solve_fused(lps[0])
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION, res.status
+    t0 = time.perf_counter()
+    res = solver.solve_fused(lps[0])
+    single = time.perf_counter() - t0
+    iters_single = res.iterations
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    t0 = time.perf_counter()
+    outs = [solver.solve_fused_async(l) for l in lps]
+    its = jax.device_get([o[1]["iterations"] for o in outs])
+    sts = jax.device_get([o[1]["status"] for o in outs])
+    sustained = time.perf_counter() - t0
+    assert all(int(s) == 1 for s in sts), sts   # device-loop SUCCESS
+    return int(sum(its)), sustained, single, iters_single
 
 
 def main():
     from pips_ipmpp_tpu.core.options import Options, ScalerType
-    from pips_ipmpp_tpu.core.status import TerminationStatus
     from pips_ipmpp_tpu.io.synthetic import random_arrowhead_lp
     from pips_ipmpp_tpu.ipm.solver import IPMSolver
     from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
@@ -38,36 +98,71 @@ def main():
 
     dtype = jnp.float32   # production TPU precision (true-f32 matmuls are
     # forced by the solver; converges to the reference tolerances)
-    lp = random_arrowhead_lp(0, dtype=dtype, **SHAPE)
-    lp = make_scaler(ScalerType.EQUILIBRIUM).scale(lp)
-    opts = Options(refinement_steps=4, max_gondzio_correctors=2)
+    # equilibrated f32 + the fused LDL^T+inverse leaf factor converge
+    # without refinement passes; one Gondzio corrector minimizes TTO
+    opts = Options(refinement_steps=0, max_gondzio_correctors=1)
+    scaler = make_scaler(ScalerType.EQUILIBRIUM)
+
+    # ---- flagship config ----
+    lp = scaler.scale(random_arrowhead_lp(0, dtype=dtype, **SHAPE))
     solver = IPMSolver(partial(ArrowBackend, factor_dtype=dtype), opts)
+    iters, sustained, single_s, it1 = _run_config(solver, _stream_lps(lp, STREAM))
+    value = iters / sustained
 
-    res = solver.solve_fused(lp)          # compile + first solve
-    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION, res.status
-
-    t0 = time.perf_counter()
-    res = solver.solve_fused(lp)
-    dt = time.perf_counter() - t0
-    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
-
-    value = res.iterations / dt
-    nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_NOMINAL.json")
-    vs_baseline = 1.0
-    if os.path.exists(nominal_path):
-        try:
-            nominal = json.load(open(nominal_path))["value"]
-            vs_baseline = value / nominal
-        except Exception:
-            pass
-
-    print(json.dumps({
+    fpi = _flops_per_iter(SHAPE["N"], SHAPE["n"], SHAPE["mE"], SHAPE["mI"],
+                          SHAPE["n0"], SHAPE["mEl"], SHAPE["mIl"])
+    tflops = fpi * iters / sustained / 1e12
+    peak = float(os.environ.get("PEAK_TFLOPS", "197"))
+    out = {
         "metric": "ipm_iterations_per_s_64blk_256v",
         "value": round(value, 3),
         "unit": "iter/s",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+        "vs_baseline": 1.0,
+        "single_solve_ms": round(single_s * 1e3, 1),
+        "tto_ms": round(single_s * 1e3, 1),
+        "single_solve_iter_s": round(it1 / single_s, 1),
+        "analytic_tflops_per_s": round(tflops, 3),
+        "mfu_pct": round(100.0 * tflops / peak, 2),
+        # the solver forces true-f32 matmuls (6-pass bf16 emulation on the
+        # MXU), so the attainable matmul peak is ~peak/6 — this is the
+        # honest utilization of the precision actually used
+        "mfu_pct_f32_highest": round(100.0 * tflops / (peak / 6.0), 2),
+    }
+
+    # ---- scale config: 512 blocks x 128 vars (BASELINE.json config #4) --
+    try:
+        sh = dict(N=512, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
+                  mEl=16, mIl=16)
+        lp2 = scaler.scale(random_arrowhead_lp(1, dtype=dtype, **sh))
+        s2 = IPMSolver(partial(ArrowBackend, factor_dtype=dtype), opts)
+        it2, sus2, sing2, _ = _run_config(s2, _stream_lps(lp2, 4))
+        out["cfg_512blk_128v"] = {"iter_s": round(it2 / sus2, 1),
+                                  "tto_ms": round(sing2 * 1e3, 1)}
+    except Exception as e:   # never lose the headline to a side config
+        out["cfg_512blk_128v"] = {"error": str(e)[:120]}
+
+    # ---- linking-dominated config: Schur size nS = 448 ----
+    try:
+        sh = dict(N=32, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
+                  mEl=192, mIl=192)
+        lp3 = scaler.scale(random_arrowhead_lp(2, dtype=dtype, **sh))
+        s3 = IPMSolver(partial(ArrowBackend, factor_dtype=dtype), opts)
+        it3, sus3, sing3, _ = _run_config(s3, _stream_lps(lp3, 4))
+        out["cfg_linkdom_nS448"] = {"iter_s": round(it3 / sus3, 1),
+                                    "tto_ms": round(sing3 * 1e3, 1)}
+    except Exception as e:
+        out["cfg_linkdom_nS448"] = {"error": str(e)[:120]}
+
+    nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_NOMINAL.json")
+    if os.path.exists(nominal_path):
+        try:
+            nominal = json.load(open(nominal_path))["value"]
+            out["vs_baseline"] = round(value / nominal, 3)
+        except Exception:
+            pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

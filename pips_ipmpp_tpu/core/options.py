@@ -99,6 +99,15 @@ class Options:
     sc_blockwise: int = 0                  # >0: stream the Schur computation
                                            # in column chunks of this size
                                            # (SC_COMPUTE_BLOCKWISE analog)
+    # iterative root with sparsified block-Jacobi preconditioner (reference
+    # PRECONDITION_SPARSE + SCsparsifier, SCsparsifier.h:18-58): >0 sets
+    # the preconditioner panel size; the dual Schur complement is solved
+    # by preconditioned CG instead of a dense Cholesky — O(nD*pb^2) factor
+    # work when the linking dimension nD gets large
+    iterative_root_panel: int = 0
+    sc_diag_dom_bound: float = 0.001       # diagDomBounds[0]
+    it_root_tol: float = 1e-9
+    it_root_maxiter: int = 200
 
     # ---- preprocessing ----
     scaler: ScalerType = ScalerType.NONE

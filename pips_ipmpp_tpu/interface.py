@@ -74,7 +74,11 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
             self._solver = IPMSolver(
                 partial(ArrowBackend, factor_dtype=fd,
-                        blockwise_sc=self.options.sc_blockwise),
+                        blockwise_sc=self.options.sc_blockwise,
+                        iterative_root=self.options.iterative_root_panel,
+                        sc_diag_dom_bound=self.options.sc_diag_dom_bound,
+                        it_root_tol=self.options.it_root_tol,
+                        it_root_maxiter=self.options.it_root_maxiter),
                 self.options)
         elif _is_sparse_arrowhead(lp):
             from pips_ipmpp_tpu.linalg.sparse_backend import \

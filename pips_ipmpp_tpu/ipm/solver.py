@@ -128,17 +128,29 @@ class IPMSolver:
     LP pytree as argument, so problem data is not baked into the
     executable)."""
 
-    def __init__(self, be_ctor: Callable, opts: Optional[Options] = None):
+    def __init__(self, be_ctor: Callable, opts: Optional[Options] = None,
+                 troubles_hook: Optional[Callable] = None):
         # f32 matmuls on TPU default to bf16 MXU passes, which destroys the
         # factorization accuracy the IPM needs (observed: stall at mu~1e-3).
         # Force true-f32 (3-pass) matmuls; no-op for f64/CPU.
         jax.config.update("jax_default_matmul_precision", "highest")
         _enable_compilation_cache()
-        self.be_ctor = be_ctor
         self.opts = opts or Options()
+        # `troubles_hook() -> be_ctor | None` is consulted when the
+        # regularization ladder is exhausted: it may relax the backend
+        # (e.g. SCsparsifier.decrease_diag_dom_bound -> a less aggressive
+        # preconditioner, the reference's InteriorPointMethod.cpp:629-637)
+        # and return a replacement constructor, triggering a re-jit
+        self.troubles_hook = troubles_hook
+        self._set_ctor(be_ctor)
+
+    def _set_ctor(self, be_ctor: Callable):
+        self.be_ctor = be_ctor
         self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))
         self._eval = jax.jit(partial(_eval_fn, be_ctor))
         self._init = jax.jit(partial(_init_fn, be_ctor, self.opts))
+        if hasattr(self, "_fused"):
+            del self._fused
 
     def solve(self, lp, callback=None, checkpoint_path: str | None = None,
               checkpoint_every: int = 10,
@@ -205,6 +217,13 @@ class IPMSolver:
                 stats_h = jax.device_get(stats)
                 ok = bool(stats_h.factor_ok)
                 retries += 1
+            if not ok and self.troubles_hook is not None:
+                new_ctor = self.troubles_hook()
+                if new_ctor is not None:
+                    self._set_ctor(new_ctor)
+                    new_it, stats = self._step(lp, it, dp, dd, k)
+                    ok = bool(jax.device_get(stats.factor_ok))
+                    stats_h = jax.device_get(stats)
             if not ok:
                 status = TerminationStatus.UNKNOWN
                 break

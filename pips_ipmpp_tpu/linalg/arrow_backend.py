@@ -73,6 +73,10 @@ class ArrowFactors:
     ok: jax.Array       # scalar factorization-health flag (local)
     Wd: jax.Array       # [nD, nD/P] column-sharded dual-Schur inverse
                         # (distributed-root mode, linalg/dist_root.py) or ()
+    Sd: jax.Array = ()  # [nD, nD] dense dual Schur complement (iterative-
+                        # root mode: kept for the CG matvec) or ()
+    Pchol: jax.Array = ()  # [k, pb, pb] sparsified block-Jacobi panel
+                        # Cholesky (linalg/sc_precond.py) or ()
 
 
 def _bchol_solve(L, b):
@@ -201,7 +205,11 @@ class ArrowBackend:
                  ldl_kernel: Optional[bool] = None,
                  blockwise_sc: int = 0,
                  dist_root: bool = False,
-                 n_shards: int = 1):
+                 n_shards: int = 1,
+                 iterative_root: int = 0,
+                 sc_diag_dom_bound: float = 0.001,
+                 it_root_tol: float = 1e-9,
+                 it_root_maxiter: int = 200):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -236,6 +244,24 @@ class ArrowBackend:
         # 0 disables (full caches). Bounds factorize memory to
         # O(N * k * blockwise_sc) instead of O(N * k * nS).
         self.blockwise_sc = blockwise_sc
+        # iterative root (reference PRECONDITION_SPARSE/DISTRIBUTED +
+        # SCsparsifier): when > 0, the dual Schur complement is NOT
+        # factorized densely; `iterative_root` is the preconditioner panel
+        # size — sparsified block-Jacobi panels (linalg/sc_precond.py) +
+        # preconditioned CG on the dense SC matvec.  O(nD*pb^2 + its*nD^2)
+        # per iteration instead of O(nD^3).
+        self.iterative_root = int(iterative_root)
+        self.sc_diag_dom_bound = float(sc_diag_dom_bound)
+        self.it_root_tol = float(it_root_tol)
+        self.it_root_maxiter = int(it_root_maxiter)
+        if self.iterative_root and (dist_root or self.ldl_kernel):
+            # the LDL-kernel and distributed-root paths own the root; the
+            # iterative root replaces the dense dual-Schur factorization
+            # in the two-level condensation path only
+            self.ldl_kernel = False
+            if dist_root:
+                raise ValueError("iterative_root and dist_root are "
+                                 "mutually exclusive root modes")
         self.bounds = Bounds(
             c=XVec(lp.c0, lp.cN),
             b=RVec(lp.b0, lp.bN, lp.bl),
@@ -472,6 +498,28 @@ class ArrowBackend:
                                 delta_d=jnp.asarray(delta_d, Einv.dtype),
                                 Sinv=z, ok=leaf_ok & root_ok, Wd=Wd)
 
+        if self.iterative_root:
+            # ---- preconditioned iterative root (reference SCsparsifier +
+            # precondSC path) ----: factor only S11 and the sparsified
+            # block-Jacobi panels of the dual SC; Dsolve runs CG
+            from pips_ipmpp_tpu.linalg.sc_precond import block_jacobi_factors
+            chol1 = jnp.linalg.cholesky(S11.astype(fd))
+            T = _spd_solve(chol1, S12.astype(fd))
+            Sdual = -(S22.astype(fd) - S12.astype(fd).T @ T)
+            Pchol, _dropped = block_jacobi_factors(
+                Sdual, self.iterative_root, self.sc_diag_dom_bound)
+            root_ok = (jnp.all(jnp.isfinite(chol1))
+                       & jnp.all(jnp.isfinite(Pchol)))
+            z = jnp.zeros((), fd)
+            return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux,
+                                Um=Um, chol1=chol1, S11inv=z,
+                                T=T.astype(dt), chol2=z, Sdinv=z,
+                                Einv0=Einv0, Om0=Om0, Oml=Oml,
+                                delta_p=jnp.asarray(delta_p, Einv.dtype),
+                                delta_d=jnp.asarray(delta_d, Einv.dtype),
+                                Sinv=z, ok=leaf_ok & root_ok, Wd=z,
+                                Sd=Sdual, Pchol=Pchol)
+
         if self.ldl_kernel:
             # ---- single quasidefinite root factor+inverse (LDL kernel) ---
             # S_full = [[S11, S12], [S12', S22]] has SPD primal block and
@@ -623,6 +671,20 @@ class ArrowBackend:
             d_own = own_slice(d.astype(fd), self.axis, self.n_shards, 0)
             Td = jax.lax.psum(fac.T.astype(fd) @ d_own, self.axis)
             a = (_spd_solve(fac.chol1, p.astype(fd)) - Td).astype(dt)
+            return a, d
+        if self.iterative_root:
+            # Dsolve via preconditioned CG on the SPD dual SC (the
+            # reference's iterative root solve with the sparsified
+            # preconditioner, sLinsysRootAug.C:930, precondSC)
+            from pips_ipmpp_tpu.linalg.sc_precond import block_jacobi_apply
+            q2 = q.astype(fd) - fac.T.astype(fd).T @ p.astype(fd)
+            dsol, _stats = preconditioned_cg(
+                q2, lambda v: block_jacobi_apply(fac.Pchol, v),
+                lambda v: fac.Sd @ v, lambda x_, y_: jnp.vdot(x_, y_),
+                self.it_root_maxiter, self.it_root_tol)
+            d = -dsol.astype(dt)
+            a = (_spd_solve(fac.chol1, p.astype(fd)).astype(dt)
+                 - fac.T @ d)
             return a, d
         if getattr(fac, "Sinv", None) is not None and fac.Sinv.ndim == 2:
             u = (fac.Sinv @ jnp.concatenate([p, q]).astype(fd)).astype(dt)

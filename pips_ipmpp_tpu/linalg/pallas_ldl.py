@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PANEL = 32
+PANEL = 16
 
 
 def _bmm(x, y, transpose_y=False):
@@ -53,32 +53,41 @@ def _small_ldl_inv(akk, p):
     elimination AND the forward substitution for the inverse: row j of Xkk
     is final when step j runs (steps only touch rows > j), so the L column
     produced at step j can be applied to Xkk immediately — Lkk itself is
-    never materialized.  Every op touches only [G,p,p] data.
+    never materialized.
+
+    The working block stays SYMMETRIC on its trailing part (the rank-1
+    update colm*rowm is symmetric there and never touches eliminated
+    rows/columns), so the pivot row is just the transpose of the pivot
+    column: one masked [G,p,p] reduction extracts both, masking happens
+    on thin [G,p,1]/[G,1,p] slices, and each step runs two full-block
+    fused multiply-subtracts — ~half the full-block ops of the naive
+    masked formulation.
     """
     g = akk.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (g, p, p), 2)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (g, p, p), 1)
-    eye = jnp.where(sub == lane, 1.0, 0.0).astype(akk.dtype)
+    sub_p1 = jax.lax.broadcasted_iota(jnp.int32, (g, p, 1), 1)
+    lane_1p = jax.lax.broadcasted_iota(jnp.int32, (g, 1, p), 2)
+    eye = jnp.where(sub_p1 == lane_1p, 1.0, 0.0).astype(akk.dtype)
 
     def body(j, carry):
-        m, xkk, drow = carry
+        m, xkk, d = carry
         onehot = (lane == j).astype(m.dtype)
         col = jnp.sum(m * onehot, axis=2, keepdims=True)        # [G,p,1]
-        subhot = (sub[:, :, :1] == j).astype(m.dtype)
-        piv = jnp.sum(col * subhot, axis=1, keepdims=True)      # [G,1,1]
-        inv_p = 1.0 / piv
-        rowj = jnp.sum(m * subhot, axis=1, keepdims=True)       # [G,1,p]
-        upd = ((sub > j) & (lane > j)).astype(m.dtype)
-        m = m - (col * inv_p) * rowj * upd
-        lcol = jnp.where(sub[:, :, :1] > j, col * inv_p, 0.0)   # [G,p,1]
+        piv = jnp.sum(jnp.where(sub_p1 == j, col, 0.0), axis=1,
+                      keepdims=True)                            # [G,1,1]
+        colraw = jnp.where(sub_p1 > j, col, 0.0)
+        colm = colraw / piv                                     # L column
+        rowm = jnp.swapaxes(colraw, 1, 2)                       # = row j (sym)
+        subhot = (sub_p1 == j).astype(m.dtype)
         xrow = jnp.sum(xkk * subhot, axis=1, keepdims=True)     # [G,1,p]
-        xkk = xkk - lcol * xrow
-        drow = jnp.where(lane[:, :1, :] == j, piv, drow)
-        return m, xkk, drow
+        m = m - colm * rowm
+        xkk = xkk - colm * xrow
+        d = jnp.where(lane_1p[:, 0, :] == j, piv[:, :, 0], d)   # [G,p]
+        return m, xkk, d
 
-    _, xkk, drow = jax.lax.fori_loop(
-        0, p, body, (akk, eye, akk[:, :1, :] * 0.0))
-    return xkk, drow[:, 0, :]
+    _, xkk, d = jax.lax.fori_loop(
+        0, p, body, (akk, eye, jnp.zeros((g, p), akk.dtype)))
+    return xkk, d
 
 
 def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
@@ -125,13 +134,23 @@ def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
 
 
 def _pick_group(batch: int, a: int) -> int:
-    """Largest divisor of `batch` keeping each [G,a,a] buffer <= ~16MB."""
-    budget = 16 * 1024 * 1024
-    g = max(1, budget // (a * a * 4))
-    g = min(g, batch)
-    while batch % g:
-        g -= 1
-    return g
+    """Largest divisor of `batch` whose total VMEM footprint fits.
+
+    Resident buffers per grid step: input window + output window (each
+    DOUBLE-buffered when grid > 1), the [G,a,a] scratch, and small
+    panel/d buffers — ~9x the [G,a,a] window size pipelined, ~5x at
+    grid == 1 (no pipelining).  Budget 100MB of the 128MB VMEM."""
+    budget = 100 * 1024 * 1024
+    blk = a * a * 4
+    best = 1
+    for g in range(batch, 0, -1):
+        if batch % g:
+            continue
+        est = (5 if g == batch else 9) * g * blk
+        if est <= budget:
+            return g
+        best = g
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
