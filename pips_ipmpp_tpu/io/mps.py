@@ -1,18 +1,77 @@
 """MPS-format reader producing a DenseLP (the serial path; reference
-Core/Readers/MpsReader.C).  Supports free-format MPS: NAME, ROWS (N/E/L/G),
-COLUMNS, RHS, RANGES, BOUNDS (LO/UP/FX/FR/MI/PL/BV/LI/UI), OBJSENSE,
-ENDATA.  Default variable bounds: x >= 0."""
+Core/Readers/MpsReader.C).
+
+Supports both FREE format (whitespace-separated) and FIXED format
+(column-position fields, names may contain embedded blanks): NAME, ROWS
+(N/E/L/G), COLUMNS (incl. integrality MARKERs, ignored: LP relaxation),
+RHS (incl. an entry on the objective row = negated objective constant),
+RANGES (L/G/E semantics; RANGES on N rows is invalid and ignored with a
+warning), BOUNDS (LO/UP/FX/FR/MI/PL/BV/LI/UI, with or without a bound-set
+name), OBJSENSE, ENDATA.  Later N rows beyond the first are free rows and
+are dropped per the MPS spec (their COLUMNS entries are ignored).
+Fortran 'D' exponents (1.5D+02) are accepted.  Default variable bounds:
+x >= 0."""
 from __future__ import annotations
 
+import warnings
 from collections import OrderedDict
+from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
 
 from pips_ipmpp_tpu.core.lp import DenseLP
 
+# fixed-format field column ranges (1-based inclusive per the MPS spec;
+# stored 0-based half-open): field 1 cols 2-3, 2: 5-12, 3: 15-22,
+# 4: 25-36, 5: 40-47, 6: 50-61
+_FIXED_FIELDS = ((1, 3), (4, 12), (14, 22), (24, 36), (39, 47), (49, 61))
 
-def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
+
+@dataclass
+class MpsInfo:
+    """Side-channel metadata from a parse (names allow solution write-back;
+    the objective constant keeps getObjective exact for files using an RHS
+    entry on the N row)."""
+    name: str = ""
+    objective_row: str = ""
+    objective_constant: float = 0.0
+    maximize: bool = False
+    row_names: list = field(default_factory=list)   # constraint rows, order
+    col_names: list = field(default_factory=list)
+    free_rows: list = field(default_factory=list)   # N rows beyond the first
+
+
+def _num(tok: str) -> float:
+    """MPS numeric literal; accepts Fortran D exponents."""
+    try:
+        return float(tok)
+    except ValueError:
+        return float(tok.upper().replace("D", "E"))
+
+
+def _split_fixed(line: str):
+    """Field extraction at the fixed-format column positions."""
+    out = []
+    for lo, hi in _FIXED_FIELDS:
+        f = line[lo:hi].strip()
+        if f:
+            out.append(f)
+    return out
+
+
+def read_mps(path: str, dtype=jnp.float64, format: str = "free") -> DenseLP:
+    lp, _ = read_mps_with_info(path, dtype=dtype, format=format)
+    return lp
+
+
+def read_mps_with_info(path: str, dtype=jnp.float64,
+                       format: str = "free") -> tuple[DenseLP, MpsInfo]:
+    if format not in ("free", "fixed"):
+        raise ValueError(f"format must be 'free' or 'fixed', got {format!r}")
+    split = _split_fixed if format == "fixed" else str.split
+
+    info = MpsInfo()
     obj_row = None
     rows = OrderedDict()      # name -> type in {E, L, G}
     cols = OrderedDict()      # name -> {row: val}
@@ -21,6 +80,7 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
     ranges = {}
     bounds = {}               # col -> dict(lo=, up=, ...)
     maximize = False
+    free_rows = set()
 
     section = None
     with open(path) as fh:
@@ -31,10 +91,12 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
             if not line[0].isspace():
                 parts = line.split()
                 section = parts[0].upper()
+                if section == "NAME" and len(parts) > 1:
+                    info.name = parts[1]
                 if section == "OBJSENSE" and len(parts) > 1:
                     maximize = parts[1].upper() in ("MAX", "MAXIMIZE")
                 continue
-            parts = line.split()
+            parts = split(line)
             if section == "OBJSENSE":
                 maximize = parts[0].upper() in ("MAX", "MAXIMIZE")
             elif section == "ROWS":
@@ -42,6 +104,10 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
                 if typ == "N":
                     if obj_row is None:
                         obj_row = name
+                    else:
+                        # later N rows are free rows: recorded, then dropped
+                        # (reference MpsReader skips them the same way)
+                        free_rows.add(name)
                 else:
                     rows[name] = typ
             elif section == "COLUMNS":
@@ -50,25 +116,45 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
                 col = parts[0]
                 cols.setdefault(col, {})
                 for k in range(1, len(parts) - 1, 2):
-                    rname, val = parts[k], float(parts[k + 1])
+                    rname, val = parts[k], _num(parts[k + 1])
                     if rname == obj_row:
                         obj[col] = obj.get(col, 0.0) + val
                     elif rname in rows:
                         cols[col][rname] = cols[col].get(rname, 0.0) + val
+                    elif rname not in free_rows:
+                        warnings.warn(
+                            f"MPS: COLUMNS entry for undeclared row "
+                            f"{rname!r} ignored")
             elif section == "RHS":
                 start = 1 if len(parts) % 2 == 1 else 0
                 for k in range(start, len(parts) - 1, 2):
-                    if parts[k] in rows or parts[k] == obj_row:
-                        rhs[parts[k]] = float(parts[k + 1])
+                    if parts[k] in rows:
+                        rhs[parts[k]] = _num(parts[k + 1])
+                    elif parts[k] == obj_row:
+                        # RHS on the objective row: NEGATED objective
+                        # constant (MPS convention)
+                        info.objective_constant = -_num(parts[k + 1])
             elif section == "RANGES":
                 start = 1 if len(parts) % 2 == 1 else 0
                 for k in range(start, len(parts) - 1, 2):
                     if parts[k] in rows:
-                        ranges[parts[k]] = float(parts[k + 1])
+                        ranges[parts[k]] = _num(parts[k + 1])
+                    elif parts[k] == obj_row or parts[k] in free_rows:
+                        warnings.warn(
+                            f"MPS: RANGES entry on free/objective row "
+                            f"{parts[k]!r} is invalid; ignored")
             elif section == "BOUNDS":
                 typ = parts[0].upper()
-                col = parts[2]
-                val = float(parts[3]) if len(parts) > 3 else 0.0
+                needs_val = typ in ("LO", "UP", "FX", "LI", "UI")
+                # the bound-set name (field 2) is optional: a value-bearing
+                # line has 4 fields with it, 3 without; a valueless line
+                # (FR/MI/PL/BV) has 3 with it, 2 without
+                if needs_val:
+                    col, val = (parts[2], _num(parts[3])) if len(parts) >= 4 \
+                        else (parts[1], _num(parts[2]))
+                else:
+                    col = parts[2] if len(parts) >= 3 else parts[1]
+                    val = 0.0
                 b = bounds.setdefault(col, {})
                 if typ in ("LO", "LI"):
                     b["lo"] = val
@@ -78,9 +164,7 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
                         b["lo"] = -np.inf
                 elif typ == "FX":
                     b["lo"] = b["up"] = val
-                elif typ == "FR":
-                    b["lo"] = -np.inf
-                elif typ == "MI":
+                elif typ in ("FR", "MI"):
                     b["lo"] = -np.inf
                 elif typ == "PL":
                     b["up"] = np.inf
@@ -157,7 +241,14 @@ def read_mps(path: str, dtype=jnp.float64) -> DenseLP:
     if maximize:
         c = -c
 
+    info.objective_row = obj_row or ""
+    info.maximize = maximize
+    info.row_names = eq_rows + iq_rows
+    info.col_names = col_names
+    info.free_rows = sorted(free_rows)
+
     f = lambda v: jnp.asarray(v, dtype)
-    return DenseLP(c=f(c), A=f(A), b=f(b), C=f(C),
-                   iclow=f(iclow), clow=f(clow), icupp=f(icupp), cupp=f(cupp),
-                   ixlow=f(ixlow), xlow=f(xlow), ixupp=f(ixupp), xupp=f(xupp))
+    lp = DenseLP(c=f(c), A=f(A), b=f(b), C=f(C),
+                 iclow=f(iclow), clow=f(clow), icupp=f(icupp), cupp=f(cupp),
+                 ixlow=f(ixlow), xlow=f(xlow), ixupp=f(ixupp), xupp=f(xupp))
+    return lp, info

@@ -173,3 +173,86 @@ def test_cli_check_blocks(tmp_path, capsys):
     rc = main(["--check", stem])
     out = capsys.readouterr().out
     assert rc == 1 and "xlow > xupp" in out
+
+
+# ---- MPS reader depth (reference MpsReader.C parity features) ----
+
+def _fixed_line(f2, f3="", f4="", f5="", f6=""):
+    """Lay fields at the fixed-format column positions (2:2-3, 5-12,
+    15-22, 25-36, 40-47, 50-61; 1-based)."""
+    out = [" "] * 61
+    for start, txt in ((4, f2), (14, f3), (24, f4), (39, f5), (49, f6)):
+        out[start:start + len(txt)] = txt
+    return "".join(out).rstrip()
+
+
+MPS_FIXED_SAMPLE = "\n".join([
+    "NAME          FIXEDT",
+    "ROWS",
+    " N  COST",
+    " N  FREEROW",
+    " L  ROW ONE",
+    " E  ROW TWO",
+    "COLUMNS",
+    _fixed_line("X ONE", "COST", "1.0", "ROW ONE", "1.0"),
+    _fixed_line("X ONE", "ROW TWO", "1.0"),
+    _fixed_line("X ONE", "FREEROW", "9.0"),
+    _fixed_line("X2", "COST", "2.0D0", "ROW TWO", "1.0"),
+    "RHS",
+    _fixed_line("RHS", "ROW ONE", "4.0", "ROW TWO", "3.0"),
+    _fixed_line("RHS", "COST", "-5.0"),
+    "BOUNDS",
+    " UP BND       X ONE         4.0",
+    "ENDATA",
+]) + "\n"
+
+
+def test_mps_fixed_format_with_spaces_in_names(tmp_path):
+    """Fixed-format parse: names with embedded blanks, Fortran D exponent,
+    a second N row treated as a free row, and an RHS entry on the
+    objective row exposed as the (negated) objective constant."""
+    from pips_ipmpp_tpu.io.mps import read_mps_with_info
+    p = tmp_path / "fixed.mps"
+    p.write_text(MPS_FIXED_SAMPLE)
+    lp, info = read_mps_with_info(str(p), format="fixed")
+    assert info.col_names == ["X ONE", "X2"]
+    assert info.row_names == ["ROW TWO", "ROW ONE"]   # eq rows first
+    assert info.free_rows == ["FREEROW"]
+    assert info.objective_constant == 5.0             # -(-5.0)
+    np.testing.assert_allclose(np.asarray(lp.c), [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(lp.A), [[1.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(lp.b), [3.0])
+    np.testing.assert_allclose(np.asarray(lp.C), [[1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(lp.cupp), [4.0])
+    # solve: min x1+2*x2 st x1+x2=3, x1<=4 (row), 0<=x1<=4 -> x1=3,x2=0
+    iface = PIPSIPMppTPUInterface(lp, Options())
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs((iface.getObjective() + info.objective_constant) - 8.0) < 1e-6
+
+
+def test_mps_bounds_without_set_name(tmp_path):
+    """BOUNDS lines may omit the bound-set name (3-token value lines)."""
+    txt = MPS_SAMPLE.replace(" UP BND       X1           4.0",
+                             " UP X1 4.0").replace(
+        " LO BND       X2          -1.0", " LO X2 -1.0")
+    p = tmp_path / "nobnd.mps"
+    p.write_text(txt)
+    lp = read_mps(str(p))
+    iface = PIPSIPMppTPUInterface(lp, Options())
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - (-8.0)) < 1e-6
+
+
+def test_mps_ranges_on_objective_row_warns(tmp_path):
+    import warnings as _w
+    txt = MPS_SAMPLE.replace("BOUNDS", "RANGES\n    RNG       COST"
+                             "         1.0\nBOUNDS")
+    p = tmp_path / "rng.mps"
+    p.write_text(txt)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        lp = read_mps(str(p))
+    assert any("invalid" in str(r.message) for r in rec)
+    iface = PIPSIPMppTPUInterface(lp, Options())
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - (-8.0)) < 1e-6
