@@ -91,6 +91,11 @@ class Options:
     dual_regularization: float = 1e-10     # delta_d
     regularization_growth: float = 100.0   # escalation on factorization failure
     max_regularization_retries: int = 6
+    # escalation schedule on factorization failure (reference
+    # RegularizationStrategy.h:15-38): "ladder" (historical default),
+    # "friedlander_orban" (decay 10x per step, grow 100x on failure),
+    # "ipopt" (zero until failure, mu^0.25 dual, last/3 restart)
+    regularization_strategy: str = "ladder"
     refinement_steps: int = 4              # max adaptive refinement sweeps
                                            # (early exit on small residual)
     refinement_tolerance: float = 1e-9

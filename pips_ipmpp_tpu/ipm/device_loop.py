@@ -67,8 +67,9 @@ def solve_on_device(be_ctor, opts: Options, lp):
         alpha_primal=jnp.full((max_it,), jnp.nan, datanorm.dtype),
         alpha_dual=jnp.full((max_it,), jnp.nan, datanorm.dtype))
 
-    dp0 = jnp.asarray(opts.primal_regularization, datanorm.dtype)
-    dd0 = jnp.asarray(opts.dual_regularization, datanorm.dtype)
+    from pips_ipmpp_tpu.ipm.regularization import make_regularization
+    strat = make_regularization(opts)
+    rstate0 = strat.init_state(datanorm.dtype)
 
     def eval_all(it):
         res = F.compute_residuals(be, it)
@@ -76,11 +77,11 @@ def solve_on_device(be_ctor, opts: Options, lp):
                 be.objective(it.x))
 
     def cond(carry):
-        it, k, dp, dd, status, best_mu, stall, hist = carry
+        it, k, rstate, attempt, status, best_mu, stall, hist = carry
         return (status == RUNNING) & (k < max_it)
 
     def body(carry):
-        it, k, dp, dd, status, best_mu, stall, hist = carry
+        it, k, rstate, attempt, status, best_mu, stall, hist = carry
         mu_v, res_v, obj_v = eval_all(it)
 
         converged = (mu_v <= mu_tol) & (res_v <= res_scale)
@@ -96,30 +97,39 @@ def solve_on_device(be_ctor, opts: Options, lp):
                       jnp.where(stalled, STALLED, RUNNING))).astype(jnp.int32)
 
         def do_step(args):
-            it, dp, dd = args
+            it, rstate, attempt = args
+            # a fresh IPM iteration advances the strategy schedule; a
+            # retry after a failed factorization does not (reference
+            # notify_new_step vs get_regularization_parameters)
+            ns = strat.new_step(rstate)
+            rs = jax.tree.map(
+                lambda a, b: jnp.where(attempt == 0, a, b), ns, rstate)
+            dp, dd = strat.deltas(rs)
             new_it, stats = ipm_step(be, it, dp, dd, opts, iteration=k)
             ok = stats.factor_ok
-            # on factorization failure: keep iterate, escalate deltas
-            # (inertia-free ladder; retried next loop turn)
+            # on factorization failure: keep iterate, escalate via the
+            # strategy (inertia-free; retried next loop turn)
             kept = jax.tree.map(
                 lambda a, b: jnp.where(ok, a, b), new_it, it)
-            dp2 = jnp.where(ok, dp, dp * opts.regularization_growth + 1e-12)
-            dd2 = jnp.where(ok, dd, dd * opts.regularization_growth + 1e-12)
-            too_big = dp2 > 1e2
-            return kept, dp2, dd2, stats, too_big
+            fs = strat.on_failure(rs, mu_v, attempt)
+            rs2 = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), rs, fs)
+            attempt2 = jnp.where(ok, 0, attempt + 1)
+            too_big = ~ok & strat.give_up(rs2)
+            return kept, rs2, attempt2, stats, too_big
 
         def no_step(args):
-            it, dp, dd = args
+            it, rstate, attempt = args
             from pips_ipmpp_tpu.ipm.mehrotra import StepStats
             zero = jnp.zeros((), mu_v.dtype)
             stats = StepStats(mu=mu_v, sigma=zero, alpha_primal=zero,
                               alpha_dual=zero,
                               n_gondzio=jnp.zeros((), jnp.int32),
                               factor_ok=jnp.asarray(True))
-            return it, dp, dd, stats, jnp.asarray(False)
+            return it, rstate, attempt, stats, jnp.asarray(False)
 
-        it2, dp2, dd2, stats, reg_fail = jax.lax.cond(
-            new_status == RUNNING, do_step, no_step, (it, dp, dd))
+        it2, rstate2, attempt2, stats, reg_fail = jax.lax.cond(
+            new_status == RUNNING, do_step, no_step, (it, rstate, attempt))
         new_status = jnp.where(reg_fail, FACTOR_FAIL,
                                new_status).astype(jnp.int32)
 
@@ -129,13 +139,17 @@ def solve_on_device(be_ctor, opts: Options, lp):
             objective=hist.objective.at[k].set(obj_v),
             alpha_primal=hist.alpha_primal.at[k].set(stats.alpha_primal),
             alpha_dual=hist.alpha_dual.at[k].set(stats.alpha_dual))
-        return (it2, k + 1, dp2, dd2, new_status, best_mu, stall, hist)
+        return (it2, k + 1, rstate2, attempt2, new_status, best_mu, stall,
+                hist)
 
-    init = (it0, jnp.zeros((), jnp.int32), dp0, dd0,
+    init = (it0, jnp.zeros((), jnp.int32), rstate0,
+            jnp.zeros((), jnp.int32),
             jnp.asarray(RUNNING, jnp.int32),
             jnp.asarray(jnp.inf, datanorm.dtype),
             jnp.zeros((), jnp.int32), hist0)
-    it, k, dp, dd, status, _, _, hist = jax.lax.while_loop(cond, body, init)
+    it, k, rstate, _, status, _, _, hist = jax.lax.while_loop(
+        cond, body, init)
+    dp, dd = strat.deltas(rstate)
     mu_f, res_f, obj_f = eval_all(it)
     info = dict(status=status, iterations=k, mu=mu_f, residual_norm=res_f,
                 objective=obj_f, history=hist, delta_p=dp, delta_d=dd)

@@ -158,14 +158,17 @@ class IPMSolver:
         opts = self.opts
         mu_tol, res_tol = opts.tolerances()
 
+        from pips_ipmpp_tpu.ipm.regularization import make_regularization
+        strat = make_regularization(opts)
+        rstate = strat.init_state(jnp.float64)
         k0 = 0
-        dp = opts.primal_regularization
-        dd = opts.dual_regularization
 
         import os
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from pips_ipmpp_tpu.ipm.checkpoint import load_checkpoint
-            it, k0, dp, dd, _ = load_checkpoint(checkpoint_path)
+            it, k0, dp_c, dd_c, _ = load_checkpoint(checkpoint_path)
+            rstate = (jnp.asarray(dp_c, jnp.float64),
+                      jnp.asarray(dd_c, jnp.float64), rstate[2])
             _, datanorm = self._init(lp)   # datanorm only
             datanorm = float(datanorm)
         else:
@@ -205,14 +208,19 @@ class IPMSolver:
                     status = TerminationStatus.UNKNOWN
                     break
 
+            rstate = strat.new_step(rstate)
+            dp, dd = (float(v) for v in strat.deltas(rstate))
             new_it, stats = self._step(lp, it, dp, dd, k)
             stats_h = jax.device_get(stats)   # one transfer for all scalars
             ok = bool(stats_h.factor_ok)
             retries = 0
             while not ok and retries < opts.max_regularization_retries:
-                # inertia-free regularization escalation
-                dp = dp * opts.regularization_growth + 1e-12
-                dd = dd * opts.regularization_growth + 1e-12
+                # inertia-free escalation via the strategy schedule
+                # (factorize_with_correct_inertia, LinearSystem.C:296-325)
+                rstate = strat.on_failure(rstate, mu_v, retries)
+                if bool(strat.give_up(rstate)):
+                    break
+                dp, dd = (float(v) for v in strat.deltas(rstate))
                 new_it, stats = self._step(lp, it, dp, dd, k)
                 stats_h = jax.device_get(stats)
                 ok = bool(stats_h.factor_ok)
