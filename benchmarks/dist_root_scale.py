@@ -28,14 +28,29 @@ def main():
     ap.add_argument("--solve", action="store_true",
                     help="run the full IPM to convergence (slow on CPU); "
                          "default does factorize + root-solve consistency")
+    ap.add_argument("--real-mesh", action="store_true",
+                    help="use the default platform's devices (a real "
+                         "multi-chip slice) instead of a CPU virtual mesh")
     args = ap.parse_args()
 
-    os.environ.setdefault(
-        "XLA_FLAGS",
-        f"--xla_force_host_platform_device_count={args.devices}")
+    # the virtual mesh needs the flag BEFORE backend init; jax may already
+    # be imported (sitecustomize preimports it with a TPU platform), so
+    # append to whatever XLA_FLAGS holds and force the CPU platform — a
+    # single real chip cannot host the --devices-way mesh anyway
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
     import jax
-    if jax.default_backend() != "tpu":
+
+    # probing jax.devices() would INITIALIZE the default (TPU) backend and
+    # make the platform switch a no-op, so decide from the flag alone:
+    # --real-mesh opts into whatever platform is default (a real slice)
+    if not args.real_mesh:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from functools import partial
