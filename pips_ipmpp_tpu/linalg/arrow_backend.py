@@ -330,6 +330,50 @@ class ArrowBackend:
         return (jax.lax.pmax(local, self.axis)
                 if self.axis is not None else local)
 
+    # ---- overridable leaf-factorization hooks (structure-exploiting
+    #      subclasses — e.g. the banded backend — replace only these) ----
+    def _leaf_factor(self, M, MEi, Fd):
+        """Factor the condensed leaf systems Neq_i = MEi M' + diag(Fd).
+
+        Returns (L, Ninv, leaf_ok).  L/Ninv are whatever pytrees
+        `_apply_Ninv_multi` consumes; the dense base class stores the
+        batched Cholesky factor and (optionally) the explicit inverse."""
+        lp = self.lp
+        fd = self.factor_dtype
+        a = M.shape[1]
+        Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
+               + jax.vmap(jnp.diag)(Fd.astype(fd)))
+        if self.ldl_kernel:
+            # fused batched LDL^T + unit-lower inverse (pallas_ldl kernel);
+            # one VMEM-resident pass replaces cholesky + 2 triangular solves
+            from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
+            Xf, df = ldl_inverse_factors(Neq)
+            Ninv = jnp.einsum("ica,ic,icb->iab", Xf, 1.0 / df, Xf,
+                              precision=jax.lax.Precision.HIGHEST)
+            L = jnp.zeros((), fd)
+            leaf_ok = jnp.all(jnp.isfinite(Ninv)) & jnp.all(df > 0.0)
+            return L, Ninv, leaf_ok
+        if self.pallas_chol and Neq.dtype == jnp.float32 and a % 64 == 0:
+            from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
+            L = batched_cholesky(Neq)
+        else:
+            L = jnp.linalg.cholesky(Neq)                   # [N, a, a]
+        if self.explicit_inverse:
+            eye_a = jnp.broadcast_to(jnp.eye(a, dtype=fd), (lp.N, a, a))
+            Ninv = _bchol_solve(L, eye_a)
+            leaf_ok = (jnp.all(jnp.isfinite(L))
+                       & jnp.all(jnp.isfinite(Ninv)))
+        else:
+            Ninv = jnp.zeros((), fd)
+            leaf_ok = jnp.all(jnp.isfinite(L))
+        return L, Ninv, leaf_ok
+
+    def _apply_Ninv_multi(self, L, Ninv, t):
+        """Neq^{-1} t for multi-RHS t [N, a, c] via the stored leaf factor."""
+        if self.explicit_inverse:
+            return jnp.einsum("iab,ibc->iac", Ninv, t)
+        return _bchol_solve(L, t)
+
     # ------------------------------------------------------------------
     def factorize(self, Dx: XVec, Ominv: RVec, delta_p, delta_d
                   ) -> ArrowFactors:
@@ -348,34 +392,7 @@ class ArrowBackend:
             jnp.broadcast_to(jnp.asarray(delta_d, Einv.dtype), (lp.N, mE)),
             Om + delta_d], axis=1)                             # [N, mE+mI]
         MEi = M * Einv[:, None, :]
-        Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
-               + jax.vmap(jnp.diag)(Fd.astype(fd)))
-        if self.ldl_kernel:
-            # fused batched LDL^T + unit-lower inverse (pallas_ldl kernel);
-            # one VMEM-resident pass replaces cholesky + 2 triangular solves
-            from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
-            Xf, df = ldl_inverse_factors(Neq)
-            Ninv = jnp.einsum("ica,ic,icb->iab", Xf, 1.0 / df, Xf,
-                              precision=jax.lax.Precision.HIGHEST)
-            L = jnp.zeros((), fd)
-            leaf_ok = jnp.all(jnp.isfinite(Ninv)) & jnp.all(df > 0.0)
-        else:
-            if self.pallas_chol and Neq.dtype == jnp.float32 \
-                    and Neq.shape[-1] % 64 == 0:
-                from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
-                L = batched_cholesky(Neq)
-            else:
-                L = jnp.linalg.cholesky(Neq)                   # [N, a, a]
-            if self.explicit_inverse:
-                eye_a = jnp.broadcast_to(jnp.eye(mE + mI, dtype=fd),
-                                         (lp.N, mE + mI, mE + mI))
-                Ninv = _bchol_solve(L, eye_a)
-                leaf_ok = (jnp.all(jnp.isfinite(L))
-                           & jnp.all(jnp.isfinite(Ninv)))
-            else:
-                Ninv = jnp.zeros((), fd)
-                leaf_ok = jnp.all(jnp.isfinite(L))
-
+        L, Ninv, leaf_ok = self._leaf_factor(M, MEi, Fd)
         if self.blockwise_sc > 0:
             contrib = self._psum(self._contrib_blockwise(
                 L, Ninv, Einv, M)).astype(Einv.dtype)
@@ -400,8 +417,7 @@ class ArrowBackend:
         Mf = M.astype(fd)
         EiRxf = EiRx.astype(fd)
         rhsU = jnp.einsum("iam,imS->iaS", Mf, EiRxf) - Rm.astype(fd)
-        Um = (jnp.einsum("iab,ibS->iaS", Ninv, rhsU)
-              if self.explicit_inverse else _bchol_solve(L, rhsU))
+        Um = self._apply_Ninv_multi(L, Ninv, rhsU)
         Ux = EiRxf - Einv.astype(fd)[:, :, None] * jnp.einsum(
             "iam,iaS->imS", Mf, Um)
 
@@ -580,10 +596,7 @@ class ArrowBackend:
         t = (jnp.einsum("iam,imc->iac", M.astype(fd),
                         (Einv[:, :, None] * rx).astype(fd))
              - rm.astype(fd))
-        if self.explicit_inverse:
-            um = jnp.einsum("iab,ibc->iac", Ninv, t)
-        else:
-            um = _bchol_solve(L, t)
+        um = self._apply_Ninv_multi(L, Ninv, t)
         ux = (Einv[:, :, None].astype(fd) * (rx.astype(fd) - jnp.einsum(
             "iam,iac->imc", M.astype(fd), um)))
         return ux, um
@@ -649,10 +662,8 @@ class ArrowBackend:
         fd = self.factor_dtype
         M = jnp.concatenate([lp.B, lp.D], axis=1)
         t = jnp.einsum("iam,im->ia", M, fac.Einv * rho_x) - rho_m
-        if self.explicit_inverse:
-            gm = jnp.einsum("iab,ib->ia", fac.Ninv, t.astype(fd))
-        else:
-            gm = _bchol_solve(fac.L, t[..., None].astype(fd))[..., 0]
+        gm = self._apply_Ninv_multi(
+            fac.L, fac.Ninv, t[..., None].astype(fd))[..., 0]
         gm = gm.astype(rho_x.dtype)
         gx = fac.Einv * (rho_x - jnp.einsum("iam,ia->im", M, gm))
         return gx, gm

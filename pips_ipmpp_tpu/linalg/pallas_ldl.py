@@ -42,8 +42,11 @@ PANEL = 16
 def _bmm(x, y, transpose_y=False):
     """Batched matmul [G,m,k]@[G,k,n] (or @y^T) on the MXU."""
     dn = (((2,), (2 if transpose_y else 1,)), ((0,), (0,)))
+    # Precision pinned so the kernel lowers regardless of the global
+    # jax_default_matmul_precision (Mosaic cannot lower 3-pass HIGH).
     return jax.lax.dot_general(x, y, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _small_ldl_inv(akk, p):

@@ -1,0 +1,115 @@
+"""Banded (block-tridiagonal) leaf backend: symbolic plan, factorization
+oracle checks, and end-to-end IPM equality with the dense backend.
+
+Reference analog: the sparse leaf factorization with reusable symbolic
+analysis (PardisoSchurSolver.C:84-252); here the symbolic stage is RCM
+bandwidth reduction and the numeric stage a batched block-tridiagonal
+Cholesky (linalg/band_backend.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from functools import partial
+
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.io.synthetic import banded_arrowhead_lp
+from pips_ipmpp_tpu.ipm.solver import IPMSolver
+from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.band_backend import (
+    BandArrowBackend, block_tridiag_factor, block_tridiag_solve,
+    plan_banded)
+
+
+def _rand_block_tridiag(rng, nb, N, b):
+    """Random SPD block-tridiagonal matrix, returned both as panels and
+    as the dense [N, nb*b, nb*b] oracle."""
+    a = nb * b
+    dense = np.zeros((N, a, a))
+    Adiag = np.zeros((nb, N, b, b))
+    Asub = np.zeros((nb, N, b, b))
+    for k in range(nb):
+        Q = rng.normal(size=(N, b, b))
+        Adiag[k] = Q @ Q.transpose(0, 2, 1) + (b + 4) * np.eye(b)
+        dense[:, k * b:(k + 1) * b, k * b:(k + 1) * b] = Adiag[k]
+        if k < nb - 1:
+            S = rng.normal(size=(N, b, b)) * 0.3
+            Asub[k] = S
+            dense[:, (k + 1) * b:(k + 2) * b, k * b:(k + 1) * b] = S
+            dense[:, k * b:(k + 1) * b, (k + 1) * b:(k + 2) * b] = \
+                S.transpose(0, 2, 1)
+    return Adiag, Asub, dense
+
+
+def test_block_tridiag_solve_matches_dense_oracle():
+    rng = np.random.default_rng(0)
+    nb, N, b, c = 5, 3, 4, 2
+    Adiag, Asub, dense = _rand_block_tridiag(rng, nb, N, b)
+    rhs = rng.normal(size=(nb, N, b, c))
+
+    Ginv, C, ok = block_tridiag_factor(jnp.asarray(Adiag), jnp.asarray(Asub))
+    assert bool(ok)
+    x = block_tridiag_solve(Ginv, C, jnp.asarray(rhs))
+
+    # oracle: dense solve per batch entry
+    r_flat = rhs.transpose(1, 0, 2, 3).reshape(N, nb * b, c)
+    x_flat = np.asarray(x).transpose(1, 0, 2, 3).reshape(N, nb * b, c)
+    for i in range(N):
+        expect = np.linalg.solve(dense[i], r_flat[i])
+        np.testing.assert_allclose(x_flat[i], expect, rtol=1e-9, atol=1e-9)
+
+
+def test_plan_banded_properties():
+    lp = banded_arrowhead_lp(1, N=3, n=64, mE=32, mI=32, window=5)
+    plan = plan_banded(lp)
+    a = lp.mE + lp.mI
+    assert plan.perm.shape == (lp.N, a)
+    # perm is a permutation per block, iperm its inverse
+    for i in range(lp.N):
+        assert sorted(plan.perm[i]) == list(range(a))
+        np.testing.assert_array_equal(plan.iperm[i][plan.perm[i]],
+                                      np.arange(a))
+    # local-support rows => bandwidth far below dense
+    assert plan.half_bandwidth < a // 2
+    assert plan.panel >= plan.half_bandwidth
+    assert plan.n_panels * plan.panel >= a
+
+
+def test_band_ipm_matches_dense_backend():
+    lp = banded_arrowhead_lp(0, N=4, n=96, mE=48, mI=48, window=6,
+                             dtype=jnp.float64)
+    plan = plan_banded(lp)
+    r_dense = IPMSolver(partial(ArrowBackend,
+                                factor_dtype=jnp.float64)).solve(lp)
+    r_band = IPMSolver(partial(BandArrowBackend, plan=plan,
+                               factor_dtype=jnp.float64)).solve(lp)
+    assert r_dense.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.iterations == r_dense.iterations
+    np.testing.assert_allclose(float(r_band.objective),
+                               float(r_dense.objective), rtol=1e-8)
+
+
+def test_band_factor_memory_is_linear_in_bandwidth():
+    """The stored factors are O(a*b) per block, not O(a^2): the regime
+    where the dense explicit inverse cannot exist (VERDICT item 5)."""
+    lp = banded_arrowhead_lp(2, N=2, n=128, mE=64, mI=64, window=4,
+                             dtype=jnp.float64)
+    plan = plan_banded(lp)
+    be = BandArrowBackend(lp, plan=plan, factor_dtype=jnp.float64)
+    a = lp.mE + lp.mI
+    M = jnp.concatenate([lp.B, lp.D], axis=1)
+    MEi = M * 0.5
+    Fd = jnp.ones((lp.N, a))
+    (Ginv, C), Ninv, ok = be._leaf_factor(M, MEi, Fd)
+    assert bool(ok)
+    band_entries = Ginv.size + C.size
+    assert band_entries < lp.N * a * a // 2
+    # and the solve against those factors matches a dense solve
+    Neq = np.einsum("iak,ibk->iab", np.asarray(MEi), np.asarray(M)) \
+        + np.stack([np.diag(np.asarray(Fd)[i]) for i in range(lp.N)])
+    t = np.random.default_rng(0).normal(size=(lp.N, a, 3))
+    got = be._apply_Ninv_multi((Ginv, C), Ninv, jnp.asarray(t))
+    for i in range(lp.N):
+        np.testing.assert_allclose(np.asarray(got)[i],
+                                   np.linalg.solve(Neq[i], t[i]),
+                                   rtol=1e-8, atol=1e-8)
