@@ -96,84 +96,113 @@ class Postsolver:
         self.lp.N = original_lp.N
 
     def postsolve(self, events, sol: Solution) -> Solution:
-        lp = self.lp
+        """Two-phase reverse replay: all PRIMAL restorations first (so
+        row activities are exact), then the DUAL reconstructions, which
+        test activities/tightness against the fully-restored primal
+        (the reference replays once because its notifications carry the
+        saved activities; here the primal pass makes them recomputable)."""
         for ev in reversed(events):
-            k = ev.kind
-            d = ev.data
-            if k == "FIXED_COLUMN":
-                blk, j, val = d["blk"], d["j"], d["val"]
-                sol.x(blk)[j] = val
-                if d.get("reason") == "singleton_eq_row":
-                    rb, r, a = d["row_blk"], d["row_idx"], d["row_coef"]
-                    # y_r from the fixed variable's stationarity in the
-                    # problem state at removal time (stored active column)
-                    acc = 0.0
-                    for (cb, cr, ca) in d["eq_col"]:
-                        if not (cb == rb and cr == r):
-                            acc += ca * sol.ydual(cb)[cr]
-                    for (cb, cr, ca) in d["iq_col"]:
-                        acc += ca * sol.zdual(cb)[cr]
-                    sol.ydual(rb)[r] = (d["c"] - acc) / a
-            elif k == "NEARLY_PARALLEL_SUB":
-                # rows: row_s: rest.x + a2 x2 = b_s; row_o = kf*row_s on
-                # the shared support plus its own singleton a1 x1.
-                # Presolve substituted x2 = t x1 + d and dropped row_s
-                # (StochPresolverParallelRows.C:788-876).  Reverse:
-                #   x2 = t x1 + d   (t = 0: x2 restored by FIXED_COLUMN)
-                #   y_s = c2/a2 (x2 appears only in row_s originally)
-                #   y_o -= y_s/kf  (shared-support stationarity)
-                vb2, j2, a2 = d["vb2"], d["j2"], d["a2"]
-                if d["t"] != 0.0:
-                    x1 = sol.x(d["vb1"])[d["j1"]]
-                    sol.x(vb2)[j2] = d["t"] * x1 + d["d"]
-                y_s = d["c2"] / a2
-                rs, ro = d["row_s"], d["row_o"]
-                sol.ydual(rs[0])[rs[1]] = y_s
-                sol.ydual(ro[0])[ro[1]] -= y_s / d["k"]
-            elif k == "SINGLETON_COLUMN":
-                vb, j, a = d["vb"], d["j"], d["a"]
-                acc = 0.0
-                for (kb, kk, ak) in d["row_coeffs"]:
-                    if kb == vb and kk == j:
-                        continue
-                    acc += ak * sol.x(kb)[kk]
-                sol.x(vb)[j] = (d["b"] - acc) / a
-                sol.ydual(d["row_blk"])[d["row_idx"]] = d["c"] / a
-            elif k == "REMOVED_INEQ_ROW" and d["reason"] == "singleton_row":
-                blk, r = d["blk"], d["r"]
-                vb, j, a = d["var_blk"], d["j"], d["coef"]
-                old_lo, old_up = d["old_var_bounds"]
-                xj = sol.x(vb)[j]
-                red = np_c(lp, vb, j) - np_ATy_col(lp, sol, vb, j)
-                at_orig_lo = np.isfinite(old_lo) and xj <= old_lo + 1e-7
-                at_orig_up = np.isfinite(old_up) and xj >= old_up - 1e-7
-                if abs(red) > 1e-9 and not (at_orig_lo or at_orig_up):
-                    # multiplier belongs to the removed row
-                    sol.zdual(blk)[r] = red / a
-            elif k == "REMOVED_INEQ_ROW" and d["reason"] == "parallel_row":
-                blk, r = d["blk"], d["r"]
-                kb, kr, fac = d["kept_blk"], d["kept_r"], d["factor"]
-                zk = sol.zdual(kb)[kr]
-                if abs(zk) < 1e-12:
-                    continue
-                # does the kept row's ORIGINAL bound support this sign?
-                row = d["row"]  # candidate's original bounds
-                act_k = np_row_activity_ineq(lp, sol, kb, kr)
-                krow = self._orig_ineq_bounds(kb, kr)
-                ok_kept = ((zk > 0 and krow[0] > 0
-                            and abs(act_k - krow[1]) < 1e-6)
-                           or (zk < 0 and krow[2] > 0
-                               and abs(act_k - krow[3]) < 1e-6))
-                if not ok_kept:
-                    # move it to the candidate row (scaled)
-                    sol.zdual(blk)[r] = zk / fac
-                    sol.zdual(kb)[kr] = 0.0
-            # REMOVED_EQ_ROW / TIGHTENED_BOUNDS / other REMOVED_INEQ_ROW:
-            # duals stay zero; bounds restored implicitly (original lp)
+            self._replay_primal(ev, sol)
+        for ev in reversed(events):
+            self._replay_dual(ev, sol)
 
-        # final: bound duals from reduced costs
+        # final: bound duals from reduced costs, then move any dual mass
+        # resting on presolve-tightened (non-original) bounds onto the
+        # original rows that implied them (exact transfer — see
+        # _transfer_interior_bound_duals)
         self._recompute_bound_duals(sol)
+        self._transfer_interior_bound_duals(sol)
         return sol
+
+    def _replay_primal(self, ev, sol: Solution):
+        k, d = ev.kind, ev.data
+        if k == "FIXED_COLUMN":
+            sol.x(d["blk"])[d["j"]] = d["val"]
+        elif k == "NEARLY_PARALLEL_SUB":
+            if d["t"] != 0.0:
+                x1 = sol.x(d["vb1"])[d["j1"]]
+                sol.x(d["vb2"])[d["j2"]] = d["t"] * x1 + d["d"]
+        elif k == "SINGLETON_COLUMN":
+            vb, j, a = d["vb"], d["j"], d["a"]
+            acc = 0.0
+            for (kb, kk, ak) in d["row_coeffs"]:
+                if kb == vb and kk == j:
+                    continue
+                acc += ak * sol.x(kb)[kk]
+            sol.x(vb)[j] = (d["b"] - acc) / a
+
+    def _replay_dual(self, ev, sol: Solution):
+        lp = self.lp
+        k = ev.kind
+        d = ev.data
+        if k == "FIXED_COLUMN":
+            blk, j, val = d["blk"], d["j"], d["val"]
+            if d.get("reason") == "singleton_eq_row":
+                rb, r, a = d["row_blk"], d["row_idx"], d["row_coef"]
+                # y_r from the fixed variable's stationarity in the
+                # problem state at removal time (stored active column)
+                acc = 0.0
+                for (cb, cr, ca) in d["eq_col"]:
+                    if not (cb == rb and cr == r):
+                        acc += ca * sol.ydual(cb)[cr]
+                for (cb, cr, ca) in d["iq_col"]:
+                    acc += ca * sol.zdual(cb)[cr]
+                sol.ydual(rb)[r] = (d["c"] - acc) / a
+        elif k == "NEARLY_PARALLEL_SUB":
+            # rows: row_s: rest.x + a2 x2 = b_s; row_o = kf*row_s on
+            # the shared support plus its own singleton a1 x1.
+            # Presolve substituted x2 = t x1 + d and dropped row_s
+            # (StochPresolverParallelRows.C:788-876).  Reverse:
+            #   x2 = t x1 + d   (t = 0: x2 restored by FIXED_COLUMN)
+            #   y_s = c2/a2 (x2 appears only in row_s originally)
+            #   y_o -= y_s/kf  (shared-support stationarity)
+            a2 = d["a2"]
+            y_s = d["c2"] / a2
+            rs, ro = d["row_s"], d["row_o"]
+            sol.ydual(rs[0])[rs[1]] = y_s
+            sol.ydual(ro[0])[ro[1]] -= y_s / d["k"]
+        elif k == "SINGLETON_COLUMN":
+            sol.ydual(d["row_blk"])[d["row_idx"]] = d["c"] / d["a"]
+        elif k == "REMOVED_INEQ_ROW" and d["reason"] == "singleton_row":
+            blk, r = d["blk"], d["r"]
+            vb, j, a = d["var_blk"], d["j"], d["coef"]
+            old_lo, old_up = d["old_var_bounds"]
+            xj = sol.x(vb)[j]
+            red = np_c(lp, vb, j) - np_ATy_col(lp, sol, vb, j)
+            at_orig_lo = np.isfinite(old_lo) and xj <= old_lo + 1e-7
+            at_orig_up = np.isfinite(old_up) and xj >= old_up - 1e-7
+            if abs(red) > 1e-9 and not (at_orig_lo or at_orig_up):
+                # multiplier belongs to the removed row
+                sol.zdual(blk)[r] = red / a
+        elif k == "REMOVED_INEQ_ROW" and d["reason"] == "parallel_row":
+            blk, r = d["blk"], d["r"]
+            kb, kr, fac = d["kept_blk"], d["kept_r"], d["factor"]
+            zk = sol.zdual(kb)[kr]
+            if abs(zk) < 1e-12:
+                return
+            # the multiplier belongs to whichever row's ORIGINAL bound
+            # is tight at the signed side: compare slacks (the merged
+            # bound the IPM saw may have come from either row)
+            act_k = np_row_activity_ineq(lp, sol, kb, kr)
+            krow = self._orig_ineq_bounds(kb, kr)
+            crow = self._orig_ineq_bounds(blk, r)
+            act_c = fac * act_k
+
+            def side_slack(act, il, lo, iu, up, sign):
+                if sign > 0:
+                    return abs(act - lo) if il > 0 else np.inf
+                return abs(up - act) if iu > 0 else np.inf
+
+            # candidate multiplier zk/fac has sign(zk)*sign(fac)
+            s_kept = side_slack(act_k, *krow, np.sign(zk))
+            s_cand = side_slack(act_c, *crow,
+                                np.sign(zk) * np.sign(fac))
+            if s_cand < s_kept:
+                # move it to the candidate row (scaled)
+                sol.zdual(blk)[r] = zk / fac
+                sol.zdual(kb)[kr] = 0.0
+        # REMOVED_EQ_ROW / TIGHTENED_BOUNDS / other REMOVED_INEQ_ROW:
+        # duals stay zero; bounds restored implicitly (original lp)
 
     def _orig_ineq_bounds(self, blk, r):
         lp = self.lp
@@ -196,6 +225,182 @@ class Postsolver:
             pN.append(np.where(lp.ixuppN[i] > 0, np.maximum(-redi, 0.0), 0.0))
         sol.gammaN = np.stack(gN) if gN else np.zeros_like(lp.cN)
         sol.phiN = np.stack(pN) if pN else np.zeros_like(lp.cN)
+
+    def _transfer_interior_bound_duals(self, sol: Solution, rounds: int = 4,
+                                       tol: float = 1e-7):
+        """Exact dual transfer for presolve-tightened bounds.
+
+        A strengthened bound x_j >= t (or <= t) is implied by an original
+        row r: when x_j sits exactly at t, row r is necessarily tight at
+        the implying side and every other variable of r is at the bound
+        used in the implication.  A bound multiplier the presolved solve
+        left on the tightened bound therefore transfers exactly onto z_r
+        (y_r for an equality): z_r += red_j / a_rj; the reduced-cost
+        changes this induces on the other row-r variables land on
+        variables that are at their bounds, so the final recompute stays
+        complementary.  (The role of the reference's per-reduction dual
+        replay for BOUNDS_TIGHTENED, StochPostsolver.C.)
+
+        Detection is solution-driven: a nonzero bound dual on a variable
+        strictly inside its ORIGINAL bounds marks a tightened-bound
+        multiplier; we search j's original rows for one tight at the
+        matching side and transfer.  Repeats a few rounds because a
+        transfer can expose another variable's interior dual."""
+        lp = self.lp
+        score = self._dual_violation_score(sol, tol)
+        plateau_budget = rounds  # bounds chains of score-neutral moves
+        for _ in range(2 * rounds):
+            if score <= tol:
+                break
+            moved = 0
+            for blk, j in self._violating_vars(sol, tol):
+                red = np_c(lp, blk, j) - np_ATy_col(lp, sol, blk, j)
+                if abs(red) <= tol:
+                    continue
+                new = self._transfer_to_row(sol, blk, j, red, score, tol)
+                if new is not None:
+                    score = new
+                    moved += 1
+            if not moved:
+                # a chain may pass through a score-neutral intermediate
+                # state (e.g. nearly-parallel substitutions move the
+                # violation from the substituted variable to a shared
+                # one before it can land on the right row): allow one
+                # plateau move, bounded by plateau_budget
+                if plateau_budget <= 0:
+                    break
+                plateau_budget -= 1
+                stepped = False
+                for blk, j in self._violating_vars(sol, tol):
+                    red = np_c(lp, blk, j) - np_ATy_col(lp, sol, blk, j)
+                    if abs(red) <= tol:
+                        continue
+                    new = self._transfer_to_row(sol, blk, j, red,
+                                                score + tol, tol)
+                    if new is not None:
+                        score = new
+                        stepped = True
+                        break
+                if not stepped:
+                    break
+        self._recompute_bound_duals(sol)
+
+    def _violating_vars(self, sol: Solution, tol):
+        """Variables whose recomputed bound dual rests on a bound the
+        ORIGINAL problem does not have tight (or does not have at all)."""
+        lp = self.lp
+        self._recompute_bound_duals(sol)
+        out = []
+        for blk in [FIRST] + list(range(lp.N)):
+            if blk == FIRST:
+                x, g, p = sol.x0, sol.gamma0, sol.phi0
+                ixl, xl = lp.ixlow0, lp.xlow0
+                ixu, xu = lp.ixupp0, lp.xupp0
+            else:
+                x, g, p = sol.xN[blk], sol.gammaN[blk], sol.phiN[blk]
+                ixl, xl = lp.ixlowN[blk], lp.xlowN[blk]
+                ixu, xu = lp.ixuppN[blk], lp.xuppN[blk]
+            at_lo = (ixl > 0) & (x <= xl + tol)
+            at_up = (ixu > 0) & (x >= xu - tol)
+            red = np.where(ixl > 0, g, 0.0) - np.where(ixu > 0, p, 0.0)
+            free_leak = (ixl == 0) & (ixu == 0)
+            bad = np.nonzero(((g > tol) & ~at_lo) | ((p > tol) & ~at_up)
+                             | (free_leak & (np.abs(red) > tol)))[0]
+            out.extend((blk, int(j)) for j in bad)
+        return out
+
+    def _dual_violation_score(self, sol: Solution, tol: float) -> float:
+        """Total dual inexactness: reduced cost that cannot be absorbed
+        complementarily by an original-tight bound, plus ineq multipliers
+        whose signed side is slack in the original problem."""
+        lp = self.lp
+        self._recompute_bound_duals(sol)
+        total = 0.0
+        for blk in [FIRST] + list(range(lp.N)):
+            if blk == FIRST:
+                x = sol.x0
+                ixl, xl, ixu, xu = lp.ixlow0, lp.xlow0, lp.ixupp0, lp.xupp0
+                red = lp.c0 - self._ATy_full(sol, FIRST)
+            else:
+                x = sol.xN[blk]
+                ixl, xl = lp.ixlowN[blk], lp.xlowN[blk]
+                ixu, xu = lp.ixuppN[blk], lp.xuppN[blk]
+                red = lp.cN[blk] - self._ATy_full(sol, blk)
+            at_lo = (ixl > 0) & (x <= xl + tol)
+            at_up = (ixu > 0) & (x >= xu - tol)
+            # red > 0 needs a tight lower bound, red < 0 a tight upper
+            total += float(np.sum(np.where(
+                red > 0, np.where(at_lo, 0.0, red),
+                np.where(at_up, 0.0, -red))))
+        for rb, m in ([(FIRST, lp.iclow0.size), (LINK, lp.iclowl.size)]
+                      + [(i, lp.iclowN.shape[1]) for i in range(lp.N)]):
+            for r in range(m):
+                z = sol.zdual(rb)[r]
+                if abs(z) <= tol:
+                    continue
+                il, lo, iu, up = self._orig_ineq_bounds(rb, r)
+                act = np_row_activity_ineq(lp, sol, rb, r)
+                if z > 0:
+                    s = abs(act - lo) if il > 0 else 1.0 + abs(z)
+                else:
+                    s = abs(up - act) if iu > 0 else 1.0 + abs(z)
+                total += abs(z) * min(s, 1.0)
+        return total
+
+    def _rows_of_var(self, blk, j):
+        """Original rows containing variable (blk, j):
+        yields (kind, row_blk, r, coef) with kind in {eq, ineq}."""
+        lp = self.lp
+        if blk == FIRST:
+            for r in np.nonzero(lp.A0[:, j])[0]:
+                yield "eq", FIRST, int(r), float(lp.A0[r, j])
+            for r in np.nonzero(lp.C0[:, j])[0]:
+                yield "ineq", FIRST, int(r), float(lp.C0[r, j])
+            for r in np.nonzero(lp.F0[:, j])[0]:
+                yield "eq", LINK, int(r), float(lp.F0[r, j])
+            for r in np.nonzero(lp.G0[:, j])[0]:
+                yield "ineq", LINK, int(r), float(lp.G0[r, j])
+            for i in range(lp.N):
+                for r in np.nonzero(lp.A[i][:, j])[0]:
+                    yield "eq", i, int(r), float(lp.A[i][r, j])
+                for r in np.nonzero(lp.C[i][:, j])[0]:
+                    yield "ineq", i, int(r), float(lp.C[i][r, j])
+        else:
+            for r in np.nonzero(lp.B[blk][:, j])[0]:
+                yield "eq", blk, int(r), float(lp.B[blk][r, j])
+            for r in np.nonzero(lp.D[blk][:, j])[0]:
+                yield "ineq", blk, int(r), float(lp.D[blk][r, j])
+            for r in np.nonzero(lp.F[blk][:, j])[0]:
+                yield "eq", LINK, int(r), float(lp.F[blk][r, j])
+            for r in np.nonzero(lp.G[blk][:, j])[0]:
+                yield "ineq", LINK, int(r), float(lp.G[blk][r, j])
+
+    def _transfer_to_row(self, sol, blk, j, red, score, tol):
+        """Try moving reduced cost `red` of variable (blk, j) onto each of
+        its original rows (dz = red / a_rj on the row multiplier); keep the
+        transfer that lowers the global dual-violation score the most.
+        Validating-by-score makes a wrong transfer impossible: every
+        candidate is applied tentatively and reverted unless the total
+        violation strictly decreases.  Returns the new score, or None."""
+        best = None      # (new_score, kind, rb, r, dz)
+        for kind, rb, r, a in self._rows_of_var(blk, j):
+            if abs(a) < 1e-12:
+                continue
+            dz = red / a
+            duals = sol.ydual(rb) if kind == "eq" else sol.zdual(rb)
+            duals[r] += dz
+            s = self._dual_violation_score(sol, tol)
+            duals[r] -= dz
+            if s < score - 1e-12 and (best is None or s < best[0]):
+                best = (s, kind, rb, r, dz)
+        if best is None:
+            self._recompute_bound_duals(sol)
+            return None
+        s, kind, rb, r, dz = best
+        duals = sol.ydual(rb) if kind == "eq" else sol.zdual(rb)
+        duals[r] += dz
+        self._recompute_bound_duals(sol)
+        return s
 
     def _ATy_full(self, sol: Solution, blk):
         lp = self.lp
@@ -257,6 +462,43 @@ def postsolve_residuals(lp: ArrowheadLP, sol: Solution) -> dict:
         out["bounds"] = max(out["bounds"], bound_violation(
             sol.xN[i], lpn.ixlowN[i], lpn.xlowN[i],
             lpn.ixuppN[i], lpn.xuppN[i]))
+
+    # complementarity: bound duals vs slack to the ORIGINAL bounds, and
+    # ineq multipliers vs slack at the signed side (z>0 <-> lower tight)
+    # products are slack-normalized (s/(1+s)): a microscopic multiplier
+    # against a huge-slack bound measures as the multiplier, not as
+    # multiplier * slack (matches KKT-check practice)
+    def comp_bounds(x, il, lo, iu, up, g, p):
+        sl = np.abs(x - lo)
+        su = np.abs(up - x)
+        cl = np.where(il > 0, np.abs(g) * sl / (1.0 + sl), 0.0)
+        cu = np.where(iu > 0, np.abs(p) * su / (1.0 + su), 0.0)
+        return max(_mx(cl), _mx(cu))
+
+    out["comp"] = comp_bounds(sol.x0, lpn.ixlow0, lpn.xlow0,
+                              lpn.ixupp0, lpn.xupp0, sol.gamma0, sol.phi0)
+    for i in range(lpn.N):
+        out["comp"] = max(out["comp"], comp_bounds(
+            sol.xN[i], lpn.ixlowN[i], lpn.xlowN[i], lpn.ixuppN[i],
+            lpn.xuppN[i], sol.gammaN[i], sol.phiN[i]))
+
+    def comp_ineq(act, il, lo, iu, up, z):
+        lo_slack = np.where(il > 0, np.abs(act - lo), np.inf)
+        up_slack = np.where(iu > 0, np.abs(up - act), np.inf)
+        slack = np.where(z > 0, lo_slack, np.where(z < 0, up_slack, 0.0))
+        return _mx(np.where(np.isfinite(slack),
+                            np.abs(z) * slack / (1.0 + slack),
+                            np.abs(z)))
+
+    out["comp"] = max(out["comp"], comp_ineq(
+        act0, lpn.iclow0, lpn.clow0, lpn.icupp0, lpn.cupp0, sol.z0))
+    for i in range(lpn.N):
+        acti = lpn.C[i] @ sol.x0 + lpn.D[i] @ sol.xN[i]
+        out["comp"] = max(out["comp"], comp_ineq(
+            acti, lpn.iclowN[i], lpn.clowN[i], lpn.icuppN[i],
+            lpn.cuppN[i], sol.zN[i]))
+    out["comp"] = max(out["comp"], comp_ineq(
+        actl, lpn.iclowl, lpn.clowl, lpn.icuppl, lpn.cuppl, sol.zl))
 
     # dual stationarity: c - A'y - C'z - gamma + phi = 0
     r0 = (lpn.c0 - lpn.A0.T @ sol.y0 - lpn.C0.T @ sol.z0

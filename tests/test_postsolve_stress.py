@@ -123,3 +123,48 @@ def test_postsolve_roundtrip_stress(seed):
     resid = postsolve_residuals(lp, sol)
     for name, v in resid.items():
         assert v < 1e-5, f"seed {seed}: postsolve residual {name}={v}"
+
+
+def test_tightened_bound_dual_transfers_to_implying_row():
+    """Degenerate case: the optimum sits exactly ON a presolve-strengthened
+    bound.  min -x1 s.t. x1 + x2 <= 4, x2 >= 1, x1 in [0, 10]: bound
+    strengthening derives x1 <= 3; the presolved IPM may leave dual mass
+    on that synthetic bound, and exact postsolve must transfer it to the
+    implying row so ORIGINAL-problem complementarity holds (x1 = 3 is
+    strictly inside [0, 10]).  Reference: BOUNDS_TIGHTENED dual replay,
+    StochPostsolver.C."""
+    anchor = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    first = dict(
+        c=np.array([-1.0, 0.0]),
+        A=np.zeros((0, 2)), b=np.zeros(0),
+        C=np.array([[1.0, 1.0]]),
+        iclow=np.zeros(1), clow=np.zeros(1),
+        icupp=np.ones(1), cupp=np.array([4.0]),
+        ixlow=np.ones(2), xlow=np.array([0.0, 1.0]),
+        ixupp=np.array([1.0, 0.0]), xupp=np.array([10.0, 0.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    lp = make_arrowhead_lp(anchor, first)
+    res = Presolver().presolve(lp)
+    assert not res.infeasible
+
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert iface.getObjective() == pytest.approx(-3.0, abs=1e-6)
+    sol = iface._postsolve()
+    assert sol.x0[0] == pytest.approx(3.0, abs=1e-5)
+    assert sol.x0[1] == pytest.approx(1.0, abs=1e-5)
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-5, f"postsolve residual {name}={v}"
+    # the row multiplier carries the mass (z = -1 on the upper side);
+    # x1's bound dual is zero because x1 = 3 is interior originally
+    assert sol.z0[0] == pytest.approx(-1.0, abs=1e-4)
+    assert sol.phi0[0] == pytest.approx(0.0, abs=1e-4)
