@@ -60,15 +60,120 @@ def _split_fixed(line: str):
     return out
 
 
-def read_mps(path: str, dtype=jnp.float64, format: str = "free") -> DenseLP:
-    lp, _ = read_mps_with_info(path, dtype=dtype, format=format)
+def read_mps(path: str, dtype=jnp.float64, format: str = "free",
+             native: bool = True) -> DenseLP:
+    lp, _ = read_mps_with_info(path, dtype=dtype, format=format,
+                               native=native)
     return lp
 
 
-def read_mps_with_info(path: str, dtype=jnp.float64,
-                       format: str = "free") -> tuple[DenseLP, MpsInfo]:
+def _assemble_lp(eq_rows, iq_rows, row_type, rhs_of, rng_of, coo, obj,
+                 bounds_lo, bounds_up, dtype):
+    """Shared LP assembly from parsed row/column data.
+
+    `coo` = (r_idx, c_idx, values) with row indices into the declaration
+    order; duplicate entries sum (MPS semantics)."""
+    n = len(obj)
+    mE, mI = len(eq_rows), len(iq_rows)
+    A = np.zeros((mE, n))
+    C = np.zeros((mI, n))
+    b = np.zeros(mE)
+    iclow = np.zeros(mI)
+    clow = np.zeros(mI)
+    icupp = np.zeros(mI)
+    cupp = np.zeros(mI)
+
+    # declaration-order row -> (is_eq, position)
+    pos = np.full(len(row_type), -1, np.int64)
+    is_eq = np.zeros(len(row_type), bool)
+    for i, r in enumerate(eq_rows):
+        pos[r] = i
+        is_eq[r] = True
+    for i, r in enumerate(iq_rows):
+        pos[r] = i
+    cr, cc, cv = coo
+    eqm = is_eq[cr]
+    np.add.at(A, (pos[cr[eqm]], cc[eqm]), cv[eqm])
+    np.add.at(C, (pos[cr[~eqm]], cc[~eqm]), cv[~eqm])
+
+    for r in eq_rows:
+        b[pos[r]] = rhs_of(r)
+    for r in iq_rows:
+        i = pos[r]
+        t = row_type[r]
+        rv = rhs_of(r)
+        rng = rng_of(r)
+        if t == "L":
+            icupp[i], cupp[i] = 1.0, rv
+            if rng is not None:
+                iclow[i], clow[i] = 1.0, rv - abs(rng)
+        elif t == "G":
+            iclow[i], clow[i] = 1.0, rv
+            if rng is not None:
+                icupp[i], cupp[i] = 1.0, rv + abs(rng)
+        else:  # ranged E row
+            if rng is None:
+                rng = 0.0
+            lo, up = ((rv, rv + rng) if rng >= 0 else (rv + rng, rv))
+            iclow[i], clow[i] = 1.0, lo
+            icupp[i], cupp[i] = 1.0, up
+
+    ixlow = np.isfinite(bounds_lo).astype(float)
+    xlow = np.where(ixlow > 0, bounds_lo, 0.0)
+    ixupp = np.isfinite(bounds_up).astype(float)
+    xupp = np.where(ixupp > 0, bounds_up, 0.0)
+
+    f = lambda v: jnp.asarray(v, dtype)
+    return DenseLP(c=f(obj), A=f(A), b=f(b), C=f(C),
+                   iclow=f(iclow), clow=f(clow), icupp=f(icupp),
+                   cupp=f(cupp), ixlow=f(ixlow), xlow=f(xlow),
+                   ixupp=f(ixupp), xupp=f(xupp))
+
+
+def _read_mps_native(path, dtype, fixed):
+    """DenseLP via the native C++ tokenizer (native/src/mps_reader.cpp, the
+    role of the reference's C++ MpsReader.C); None if lib unavailable."""
+    from pips_ipmpp_tpu import native
+    parsed = native.mps_parse(path, fixed=fixed)
+    if parsed is None:
+        return None
+    if parsed["n_bad_ranges"]:
+        warnings.warn("MPS: RANGES entry on free/objective row is "
+                      "invalid; ignored")
+    rt = parsed["row_types"]
+    types = np.array([chr(t) for t in rt])
+    has_rng = parsed["has_rng"]
+    m = len(rt)
+    eq_rows = [r for r in range(m) if types[r] == "E" and not has_rng[r]]
+    iq_rows = [r for r in range(m) if types[r] != "E" or has_rng[r]]
+    obj = parsed["obj"].copy()
+    if parsed["maximize"]:
+        obj = -obj
+    lp = _assemble_lp(
+        eq_rows, iq_rows, types,
+        rhs_of=lambda r: float(parsed["rhs"][r]),
+        rng_of=lambda r: (float(parsed["rng"][r]) if has_rng[r] else None),
+        coo=(parsed["coo_r"], parsed["coo_c"], parsed["coo_v"]),
+        obj=obj, bounds_lo=parsed["lo"], bounds_up=parsed["up"],
+        dtype=dtype)
+    info = MpsInfo(
+        name=parsed["name"], objective_row=parsed["objective_row"],
+        objective_constant=parsed["obj_constant"],
+        maximize=parsed["maximize"],
+        row_names=[parsed["row_names"][r] for r in eq_rows + iq_rows],
+        col_names=list(parsed["col_names"]),
+        free_rows=list(parsed["free_rows"]))
+    return lp, info
+
+
+def read_mps_with_info(path: str, dtype=jnp.float64, format: str = "free",
+                       native: bool = True) -> tuple[DenseLP, MpsInfo]:
     if format not in ("free", "fixed"):
         raise ValueError(f"format must be 'free' or 'fixed', got {format!r}")
+    if native:
+        out = _read_mps_native(path, dtype, fixed=(format == "fixed"))
+        if out is not None:
+            return out
     split = _split_fixed if format == "fixed" else str.split
 
     info = MpsInfo()

@@ -60,6 +60,35 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          p_f64, i64]
     lib.row_activity_bounds.argtypes = [p_f64, i64, i64, p_f64, p_f64,
                                         p_f64, p_f64]
+
+    vp = ctypes.c_void_p
+    cp = ctypes.c_char_p
+    p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.mps_open.restype = vp
+    lib.mps_open.argtypes = [cp, ctypes.c_int32]
+    lib.mps_error.restype = cp
+    lib.mps_error.argtypes = [vp]
+    for fn in ("mps_n_rows", "mps_n_cols", "mps_nnz", "mps_n_free_rows",
+               "mps_n_bad_ranges"):
+        getattr(lib, fn).restype = i64
+        getattr(lib, fn).argtypes = [vp]
+    lib.mps_maximize.restype = ctypes.c_int32
+    lib.mps_maximize.argtypes = [vp]
+    lib.mps_obj_constant.restype = f64
+    lib.mps_obj_constant.argtypes = [vp]
+    lib.mps_fill.argtypes = [vp, p_i8, p_f64, p_u8, p_f64, p_i64, p_i64,
+                             p_f64, p_f64, p_f64, p_f64]
+    for fn in ("mps_row_name", "mps_col_name", "mps_free_row_name"):
+        getattr(lib, fn).restype = cp
+        getattr(lib, fn).argtypes = [vp, i64] if fn != "mps_problem_name" \
+            else [vp]
+    lib.mps_row_name.argtypes = [vp, i64]
+    lib.mps_col_name.argtypes = [vp, i64]
+    lib.mps_free_row_name.argtypes = [vp, i64]
+    lib.mps_problem_name.restype = cp
+    lib.mps_problem_name.argtypes = [vp]
+    lib.mps_close.argtypes = [vp]
     _lib = lib
     return _lib
 
@@ -162,3 +191,53 @@ def row_activity_bounds(M: np.ndarray, lo: np.ndarray, up: np.ndarray):
         return mn, mx
     lib.row_activity_bounds(M, rows, M.shape[1], lo, up, mn, mx)
     return mn, mx
+
+
+def mps_parse(path: str, fixed: bool = False):
+    """Native MPS parse -> dict of arrays, or None when the native library
+    is unavailable (callers fall back to the pure-Python parser).
+
+    Raises ValueError on malformed files (mirrors the Python parser)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.mps_open(path.encode(), 1 if fixed else 0)
+    if not h:
+        raise ValueError(f"MPS parse failed: {path}")
+    try:
+        err = lib.mps_error(h)
+        if err:
+            raise ValueError(f"MPS parse failed: {err.decode()}")
+        m = lib.mps_n_rows(h)
+        n = lib.mps_n_cols(h)
+        nnz = lib.mps_nnz(h)
+        row_types = np.zeros(max(m, 1), np.int8)
+        rhs = np.zeros(max(m, 1), np.float64)
+        has_rng = np.zeros(max(m, 1), np.uint8)
+        rng = np.zeros(max(m, 1), np.float64)
+        coo_r = np.zeros(max(nnz, 1), np.int64)
+        coo_c = np.zeros(max(nnz, 1), np.int64)
+        coo_v = np.zeros(max(nnz, 1), np.float64)
+        obj = np.zeros(max(n, 1), np.float64)
+        lo = np.zeros(max(n, 1), np.float64)
+        up = np.zeros(max(n, 1), np.float64)
+        lib.mps_fill(h, row_types, rhs, has_rng, rng, coo_r, coo_c, coo_v,
+                     obj, lo, up)
+        return dict(
+            name=lib.mps_problem_name(h).decode(),
+            maximize=bool(lib.mps_maximize(h)),
+            obj_constant=float(lib.mps_obj_constant(h)),
+            row_types=row_types[:m], rhs=rhs[:m],
+            has_rng=has_rng[:m].astype(bool), rng=rng[:m],
+            coo_r=coo_r[:nnz], coo_c=coo_c[:nnz], coo_v=coo_v[:nnz],
+            obj=obj[:n], lo=lo[:n], up=up[:n],
+            row_names=[lib.mps_row_name(h, i).decode() for i in range(m)],
+            objective_row=lib.mps_row_name(h, m).decode(),
+            col_names=[lib.mps_col_name(h, j).decode() for j in range(n)],
+            free_rows=sorted(
+                lib.mps_free_row_name(h, i).decode()
+                for i in range(lib.mps_n_free_rows(h))),
+            n_bad_ranges=int(lib.mps_n_bad_ranges(h)),
+        )
+    finally:
+        lib.mps_close(h)

@@ -94,3 +94,45 @@ def test_native_matches_python_fallback():
     for a, b in zip(res_native[1], res_py[1]):
         np.testing.assert_allclose(np.sort(np.asarray(a, float)),
                                    np.sort(np.asarray(b, float)))
+
+
+def test_native_mps_parser_matches_python(tmp_path):
+    """The native C++ MPS core (native/src/mps_reader.cpp, the role of the
+    reference's MpsReader.C) must produce the exact same LP as the pure
+    Python parser on every reader-depth fixture."""
+    import dataclasses
+    from pips_ipmpp_tpu import native
+    from pips_ipmpp_tpu.io.mps import read_mps_with_info
+    from tests.test_io import MPS_SAMPLE, MPS_FIXED_SAMPLE
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native library")
+
+    fixtures = [("free.mps", MPS_SAMPLE, "free"),
+                ("fixed.mps", MPS_FIXED_SAMPLE, "fixed")]
+    # ranges + objsense + bounds-without-set-name variant
+    variant = MPS_SAMPLE.replace(
+        "ROWS", "OBJSENSE\n    MAX\nROWS").replace(
+        " UP BND       X1           4.0", " UP X1 4.0")
+    variant = variant.replace(
+        "BOUNDS", "RANGES\n    RNG       LIM1         2.0\nBOUNDS")
+    fixtures.append(("variant.mps", variant, "free"))
+
+    for fname, text, fmt in fixtures:
+        p = tmp_path / fname
+        p.write_text(text)
+        lp_n, info_n = read_mps_with_info(str(p), format=fmt, native=True)
+        lp_p, info_p = read_mps_with_info(str(p), format=fmt, native=False)
+        for f in dataclasses.fields(lp_p):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lp_n, f.name)),
+                np.asarray(getattr(lp_p, f.name)),
+                err_msg=f"{fname}: field {f.name}")
+        assert info_n.name == info_p.name
+        assert info_n.objective_row == info_p.objective_row
+        assert info_n.objective_constant == info_p.objective_constant
+        assert info_n.maximize == info_p.maximize
+        assert info_n.row_names == info_p.row_names
+        assert info_n.col_names == info_p.col_names
+        assert info_n.free_rows == info_p.free_rows
