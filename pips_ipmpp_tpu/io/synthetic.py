@@ -317,3 +317,92 @@ def banded_arrowhead_lp(seed, N=4, n=512, mE=256, mI=256, window=8,
         linking_ineq={"iclow": iclowl, "clow": clowl,
                       "icupp": icuppl, "cupp": cuppl},
         dtype=dtype)
+
+
+def klink_arrowhead_lp(seed, N=8, n=24, mE=8, mI=8, links_per_block=2,
+                       klink=2, n_global=0, n0=6, m0E=3, m0I=3,
+                       dtype=jnp.float64) -> ArrowheadLP:
+    """Arrowhead LP whose linking rows have k-link structure: each row is
+    supported on `klink` CONSECUTIVE blocks (the reference's 2-link rows,
+    DistributedProblem.hpp:66-77), plus `n_global` all-block rows.  Split
+    evenly into eq/ineq linking rows.  Feasible by construction."""
+    rng = np.random.default_rng(seed)
+    owners = []          # (first_block, is_global)
+    for i in range(N):
+        owners += [(i, False)] * links_per_block
+    owners += [(0, True)] * n_global
+    nlink = len(owners)
+    mEl = nlink // 2
+    mIl = nlink - mEl
+    # interleave eq/ineq (exactly mEl eq rows) to exercise the planner
+    typemask = np.zeros(nlink, bool)
+    typemask[np.arange(nlink)[::2][:mEl]] = True
+    typemask[np.arange(nlink)[1::2][:mEl - typemask.sum()]] = True
+
+    x0s = rng.normal(size=n0) * 0.5
+
+    def bounds_for(xs, nloc):
+        ixlow = np.ones(nloc)
+        xlow = xs - 0.5 - rng.random(nloc)
+        ixupp = (rng.random(nloc) < 0.7).astype(float)
+        xupp = np.where(ixupp > 0, xs + 0.5 + rng.random(nloc), 0.0)
+        return ixlow, xlow, ixupp, xupp
+
+    def ineq_bounds(Cx, m):
+        iclow = (rng.random(m) < 0.7).astype(float)
+        icupp = np.where(iclow > 0, (rng.random(m) < 0.5).astype(float), 1.0)
+        clow = np.where(iclow > 0, Cx - 0.3 - rng.random(m), 0.0)
+        cupp = np.where(icupp > 0, Cx + 0.3 + rng.random(m), 0.0)
+        return iclow, clow, icupp, cupp
+
+    # linking coefficient strips: eq rows then ineq rows, per block
+    Fs = [np.zeros((mEl, n)) for _ in range(N)]
+    Gs = [np.zeros((mIl, n)) for _ in range(N)]
+    ei = ii = 0
+    for (blk0, is_glob), is_eq in zip(owners, typemask):
+        tgt, r = (Fs, ei) if is_eq else (Gs, ii)
+        span = range(N) if is_glob else range(
+            blk0, min(blk0 + klink, N))
+        for i in span:
+            tgt[i][r] = rng.normal(size=n) * 0.2
+        if is_eq:
+            ei += 1
+        else:
+            ii += 1
+
+    blocks, xis = [], []
+    for i in range(N):
+        xi = rng.normal(size=n) * 0.5
+        xis.append(xi)
+        A = rng.normal(size=(mE, n0)) * 0.3
+        B = rng.normal(size=(mE, n)) + np.eye(mE, n)
+        C = rng.normal(size=(mI, n0)) * 0.3
+        D = rng.normal(size=(mI, n))
+        Cx = C @ x0s + D @ xi
+        iclow, clow, icupp, cupp = ineq_bounds(Cx, mI)
+        ixlow, xlow, ixupp, xupp = bounds_for(xi, n)
+        blocks.append(dict(c=rng.normal(size=n), A=A, B=B,
+                           b=A @ x0s + B @ xi, C=C, D=D,
+                           iclow=iclow, clow=clow, icupp=icupp, cupp=cupp,
+                           ixlow=ixlow, xlow=xlow, ixupp=ixupp, xupp=xupp,
+                           F=Fs[i], G=Gs[i]))
+
+    A0 = rng.normal(size=(m0E, n0)) + np.eye(m0E, n0)
+    C0 = rng.normal(size=(m0I, n0))
+    iclow0, clow0, icupp0, cupp0 = ineq_bounds(C0 @ x0s, m0I)
+    ixlow0, xlow0, ixupp0, xupp0 = bounds_for(x0s, n0)
+    F0 = rng.normal(size=(mEl, n0)) * 0.1
+    G0 = rng.normal(size=(mIl, n0)) * 0.1
+    first = dict(c=rng.normal(size=n0), A=A0, b=A0 @ x0s, C=C0,
+                 iclow=iclow0, clow=clow0, icupp=icupp0, cupp=cupp0,
+                 ixlow=ixlow0, xlow=xlow0, ixupp=ixupp0, xupp=xupp0,
+                 F0=F0, G0=G0)
+
+    bl = F0 @ x0s + sum(F @ xi for F, xi in zip(Fs, xis))
+    Gx = G0 @ x0s + sum(G @ xi for G, xi in zip(Gs, xis))
+    iclowl, clowl, icuppl, cuppl = ineq_bounds(Gx, mIl)
+    return make_arrowhead_lp(
+        blocks, first, linking_eq={"b": bl},
+        linking_ineq={"iclow": iclowl, "clow": clowl,
+                      "icupp": icuppl, "cupp": cuppl},
+        dtype=dtype)

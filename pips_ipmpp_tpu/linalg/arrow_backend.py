@@ -77,6 +77,9 @@ class ArrowFactors:
                         # root mode: kept for the CG matvec) or ()
     Pchol: jax.Array = ()  # [k, pb, pb] sparsified block-Jacobi panel
                         # Cholesky (linalg/sc_precond.py) or ()
+    RbG: jax.Array = ()  # [nb, 1, b, b] banded-root panel inverses
+                        # (linalg/band_root.py, 2-link SC exploitation) or ()
+    RbC: jax.Array = ()  # [nb, 1, b, b] banded-root sub-diagonal factors
 
 
 def _bchol_solve(L, b):
@@ -209,7 +212,8 @@ class ArrowBackend:
                  iterative_root: int = 0,
                  sc_diag_dom_bound: float = 0.001,
                  it_root_tol: float = 1e-9,
-                 it_root_maxiter: int = 200):
+                 it_root_maxiter: int = 200,
+                 band_root_plan=None):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -254,6 +258,17 @@ class ArrowBackend:
         self.sc_diag_dom_bound = float(sc_diag_dom_bound)
         self.it_root_tol = float(it_root_tol)
         self.it_root_maxiter = int(it_root_maxiter)
+        # banded root (linalg/band_root.py): 2-link linking structure
+        # makes the dual SC banded after the plan's permutation; the root
+        # factorization becomes O(nD b^2).  Exclusive with the other
+        # special root modes; composes with any leaf mode.
+        self.band_root_plan = band_root_plan
+        if band_root_plan is not None:
+            if dist_root or iterative_root:
+                raise ValueError("band_root_plan is exclusive with "
+                                 "dist_root/iterative_root")
+            self._rb_perm = jnp.asarray(band_root_plan.perm)
+            self._rb_iperm = jnp.asarray(band_root_plan.iperm)
         if self.iterative_root and (dist_root or self.ldl_kernel):
             # the LDL-kernel and distributed-root paths own the root; the
             # iterative root replaces the dense dual-Schur factorization
@@ -490,6 +505,44 @@ class ArrowBackend:
         if leaf_ok is None:
             leaf_ok = jnp.asarray(True)
 
+        if self.band_root_plan is not None:
+            # ---- banded root: dual block eliminated FIRST via the
+            # block-tridiagonal Cholesky of the permuted SDD = -S22 (the
+            # 2-link sparse-SC exploitation, DistributedProblem.hpp:66-77);
+            # the small primal Schur complement S11x = S11 + S12 SDD^{-1}
+            # S12' is factored dense ----
+            from pips_ipmpp_tpu.linalg.band_backend import (
+                block_tridiag_factor)
+            plan = self.band_root_plan
+            b, nb = plan.panel, plan.n_panels
+            P = self._rb_perm
+            SDD = -(S22[P][:, P]).astype(fd)             # SPD, banded
+            pad = nb * b - nD
+            if pad:
+                SDD = jnp.pad(SDD, ((0, pad), (0, pad)))
+                SDD = SDD.at[nD:, nD:].set(jnp.eye(pad, dtype=fd))
+            Adiag = jnp.stack([SDD[k * b:(k + 1) * b, k * b:(k + 1) * b]
+                               for k in range(nb)])[:, None]
+            Asub = jnp.stack(
+                [SDD[(k + 1) * b:(k + 2) * b, k * b:(k + 1) * b]
+                 for k in range(nb - 1)]
+                + [jnp.zeros((b, b), fd)])[:, None]
+            RbG, RbC, okd = block_tridiag_factor(Adiag, Asub)
+            S12p = S12[:, P].astype(fd)                  # [n0, nD]
+            Td = self._rb_solve(RbG, RbC, S12p.T)        # SDD^{-1} S12'
+            S11x = S11.astype(fd) + S12p @ Td
+            chol1 = jnp.linalg.cholesky(S11x)
+            root_ok = okd & jnp.all(jnp.isfinite(chol1))
+            z = jnp.zeros((), fd)
+            return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux,
+                                Um=Um, chol1=chol1, S11inv=z,
+                                T=S12p.astype(dt), chol2=z, Sdinv=z,
+                                Einv0=Einv0, Om0=Om0, Oml=Oml,
+                                delta_p=jnp.asarray(delta_p, Einv.dtype),
+                                delta_d=jnp.asarray(delta_d, Einv.dtype),
+                                Sinv=z, ok=leaf_ok & root_ok, Wd=z,
+                                RbG=RbG, RbC=RbC)
+
         if self.dist_root:
             from pips_ipmpp_tpu.linalg.dist_root import (dist_chol_inverse,
                                                          own_slice)
@@ -590,6 +643,19 @@ class ArrowBackend:
                             ok=leaf_ok & root_ok,
                             Wd=jnp.zeros((), fd))
 
+    def _rb_solve(self, RbG, RbC, rhs):
+        """Banded-root SDD^{-1} rhs for rhs [nD, c] (permuted order)."""
+        from pips_ipmpp_tpu.linalg.band_backend import block_tridiag_solve
+        plan = self.band_root_plan
+        b, nb = plan.panel, plan.n_panels
+        nD, c = rhs.shape
+        pad = nb * b - nD
+        r = rhs if not pad else jnp.concatenate(
+            [rhs, jnp.zeros((pad, c), rhs.dtype)], axis=0)
+        r = r.reshape(nb, 1, b, c)
+        x = block_tridiag_solve(RbG, RbC, r.astype(RbG.dtype))
+        return x.reshape(nb * b, c)[:nD]
+
     def _leaf_apply_inv(self, L, Ninv, Einv, M, rx, rm):
         """K_b^{-1} applied to (rx [N,n,c], rm [N,a,c]) multi-RHS."""
         fd = self.factor_dtype
@@ -673,6 +739,18 @@ class ArrowBackend:
         (or one matvec with the explicit root inverse on the kernel path)."""
         fd = self.factor_dtype
         dt = p.dtype
+        if self.band_root_plan is not None:
+            # banded-root Dsolve: S11x a = p + S12 SDD^{-1} q;
+            # d = -SDD^{-1} (q - S12' a)   (two banded sweeps + one small
+            # dense solve — the 2-link root counterpart of Dsolve)
+            S12p = fac.T.astype(fd)                      # [n0, nD] permuted
+            qp = q[self._rb_perm].astype(fd)[:, None]
+            t = self._rb_solve(fac.RbG, fac.RbC, qp)
+            a = _spd_solve(fac.chol1, p.astype(fd) + (S12p @ t)[:, 0])
+            rd = qp - (S12p.T @ a)[:, None]
+            dperm = -self._rb_solve(fac.RbG, fac.RbC, rd)[:, 0]
+            d = dperm[self._rb_iperm].astype(dt)
+            return a.astype(dt), d
         if self.dist_root:
             from pips_ipmpp_tpu.linalg.dist_root import own_slice
             # q2_own = (q - T' p)[own rows]; d = -psum(W q2_own); a = ...

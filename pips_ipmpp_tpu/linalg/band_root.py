@@ -1,0 +1,95 @@
+r"""Banded root: 2-link / k-link structure exploitation in the dual Schur
+complement.
+
+Energy-system LPs couple scenarios/time-steps through linking constraints
+whose block support is LOCAL (consecutive blocks — the reference's 2-link
+rows, detected and exploited via sparse-SC nnz machinery,
+DistributedProblem.hpp:66-77, DistributedQP::activateLinkStructure
+Exploitation).  Then SC(r, r') = sum_i F_i K_i^{-1} F_i' is nonzero only
+when rows r, r' touch a common block: ordering linking rows by their block
+window makes the dual Schur complement BANDED (plus the dense rank-n0
+coupling through x0, which stays an explicit small Schur complement).
+
+The TPU-native exploitation reverses the root elimination order:
+
+  1. factor the permuted dual-dual block  SDD = -S22  with the batched
+     block-tridiagonal Cholesky (band_backend.block_tridiag_factor) —
+     O(nD b^2) instead of O(nD^3);
+  2. form the n0 x n0 primal Schur complement S11x = S11 + S12 SDD^{-1}
+     S12' with n0 banded multi-RHS solves, and factor it dense (n0 is
+     small by construction);
+  3. every root solve is two banded sweeps + one tiny dense solve.
+
+The first-stage dual rows (y0, z0) are diagonal in SDD (no border
+contribution touches them) and ride in the leading panels; linking rows
+with empty block support couple only through x0 and sit at the end.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pips_ipmpp_tpu.core.lp import ArrowheadLP
+
+
+@dataclass(frozen=True)
+class BandRootPlan:
+    """Host-side symbolic analysis of the dual-SC sparsity (static)."""
+    perm: np.ndarray        # [nD] dual-space permutation (gather order)
+    iperm: np.ndarray       # [nD] inverse permutation
+    half_bandwidth: int     # of the permuted SDD pattern
+    panel: int              # block-tridiagonal panel size
+    n_panels: int
+
+
+def plan_banded_root(lp: ArrowheadLP, panel: int | None = None,
+                     min_panel: int = 8) -> BandRootPlan:
+    """Order linking rows by their block-support window.
+
+    `lp` must be concrete (host numpy).  Rows are placed [y0 | z0 |
+    linking rows by window center | unsupported linking rows]; the
+    half-bandwidth is the max position span of rows sharing a block
+    (rows sharing a block form a clique in the SC pattern)."""
+    F = np.asarray(lp.F)    # [N, mEl, n]
+    G = np.asarray(lp.G)    # [N, mIl, n]
+    N, mEl, _ = F.shape
+    mIl = G.shape[1]
+    m0E, m0I = int(lp.m0E), int(lp.m0I)
+    nP = m0E + m0I
+    nL = mEl + mIl
+
+    # support[i] = linking-row ids (0..nL) touching block i
+    supp_eq = (np.abs(F) > 0).any(axis=2)     # [N, mEl]
+    supp_iq = (np.abs(G) > 0).any(axis=2)     # [N, mIl]
+    supp = np.concatenate([supp_eq, supp_iq], axis=1)  # [N, nL]
+
+    touched = supp.any(axis=0)                # [nL]
+    lo_blk = np.full(nL, np.inf)
+    hi_blk = np.full(nL, -np.inf)
+    for i in range(N):
+        rows = np.nonzero(supp[i])[0]
+        lo_blk[rows] = np.minimum(lo_blk[rows], i)
+        hi_blk[rows] = np.maximum(hi_blk[rows], i)
+    center = np.where(touched, (lo_blk + hi_blk) / 2.0, np.inf)
+    order = np.argsort(center, kind="stable")  # untouched rows sink last
+
+    pos = np.empty(nL, np.int64)
+    pos[order] = np.arange(nL)
+    h = 1
+    for i in range(N):
+        rows = np.nonzero(supp[i])[0]
+        if rows.size > 1:
+            p = pos[rows]
+            h = max(h, int(p.max() - p.min()))
+    if panel is None:
+        panel = max(min_panel, -(-h // min_panel) * min_panel)
+    elif panel < h:
+        raise ValueError(f"panel {panel} < half-bandwidth {h}")
+
+    perm = np.concatenate([np.arange(nP), nP + order]).astype(np.int32)
+    iperm = np.argsort(perm).astype(np.int32)
+    nD = nP + nL
+    n_panels = -(-nD // panel)
+    return BandRootPlan(perm=perm, iperm=iperm, half_bandwidth=h,
+                       panel=panel, n_panels=n_panels)

@@ -1,0 +1,78 @@
+"""Banded root (2-link SC exploitation): planner properties and IPM
+equality with the dense two-stage root.
+
+Reference analog: linking-structure exploitation / sparse-SC nnz
+machinery (DistributedProblem.hpp:66-77); here the dual Schur complement
+is factored block-tridiagonally after window ordering
+(linalg/band_root.py)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from functools import partial
+
+from pips_ipmpp_tpu.core.status import TerminationStatus
+from pips_ipmpp_tpu.io.synthetic import klink_arrowhead_lp
+from pips_ipmpp_tpu.ipm.solver import IPMSolver
+from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.band_root import plan_banded_root
+
+
+def test_plan_banded_root_two_link():
+    lp = klink_arrowhead_lp(0, N=8, links_per_block=2, klink=2)
+    plan = plan_banded_root(lp)
+    nD = lp.m0E + lp.m0I + lp.mEl + lp.mIl
+    assert sorted(plan.perm) == list(range(nD))
+    np.testing.assert_array_equal(plan.iperm[plan.perm], np.arange(nD))
+    # 2-link rows over 8 blocks: each block is touched by at most
+    # 2*links_per_block*klink rows => bandwidth stays O(links) not O(N)
+    assert plan.half_bandwidth <= 4 * 2 * 2
+    assert plan.n_panels * plan.panel >= nD
+
+
+def test_plan_bandwidth_verifies_against_true_sc_pattern():
+    """The planned bandwidth must bound the TRUE dual-SC fill: assemble
+    the dense SC with the reference (two-stage) backend and check every
+    entry outside the planned band (over the linking part) is zero."""
+    lp = klink_arrowhead_lp(3, N=6, links_per_block=2, klink=2,
+                            dtype=jnp.float64)
+    plan = plan_banded_root(lp)
+    be = ArrowBackend(lp, factor_dtype=jnp.float64, explicit_inverse=False)
+    from pips_ipmpp_tpu.core.spaces import RVec, XVec
+    Dx = XVec(jnp.ones(lp.n0), jnp.ones((lp.N, lp.n)))
+    Ominv = RVec(jnp.ones(lp.m0I), jnp.ones((lp.N, lp.mI)),
+                 jnp.ones(lp.mIl))
+    fac = be.factorize(Dx, Ominv, 1e-8, 1e-8)
+    # dense dual SC of the two-stage root: chol2 chol2' = Sdual
+    Sd = np.asarray(fac.chol2 @ fac.chol2.T)
+    P = plan.perm
+    Sp = Sd[np.ix_(P, P)]
+    nD = Sp.shape[0]
+    r, c = np.meshgrid(np.arange(nD), np.arange(nD), indexing="ij")
+    # outside the pure band: |r - c| > half_bandwidth.  x0 coupling has
+    # been eliminated INTO Sdual here, which makes it dense — mask the
+    # n0-rank contribution by checking the *pre-elimination* -S22 instead
+    # is stricter; accept the bandwidth bound on -S22:
+    # rebuild S22 via Sdual = -(S22 - S12' S11^{-1} S12):
+    T = np.asarray(fac.T)            # [n0, nD]
+    chol1 = np.asarray(fac.chol1)
+    S11 = chol1 @ chol1.T
+    S22 = -(Sd - T.T @ (S11 @ T))
+    S22p = S22[np.ix_(P, P)]
+    outside = np.abs(r - c) > plan.half_bandwidth
+    assert np.max(np.abs(S22p[outside])) < 1e-10
+
+
+@pytest.mark.parametrize("n_global", [0, 1])
+def test_band_root_ipm_matches_dense_root(n_global):
+    lp = klink_arrowhead_lp(1, N=8, links_per_block=2, klink=2,
+                            n_global=n_global, dtype=jnp.float64)
+    plan = plan_banded_root(lp)
+    r_dense = IPMSolver(partial(ArrowBackend,
+                                factor_dtype=jnp.float64)).solve(lp)
+    r_band = IPMSolver(partial(ArrowBackend, band_root_plan=plan,
+                               factor_dtype=jnp.float64)).solve(lp)
+    assert r_dense.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.iterations == r_dense.iterations
+    np.testing.assert_allclose(float(r_band.objective),
+                               float(r_dense.objective), rtol=1e-8)
