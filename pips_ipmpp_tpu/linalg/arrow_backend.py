@@ -213,7 +213,8 @@ class ArrowBackend:
                  sc_diag_dom_bound: float = 0.001,
                  it_root_tol: float = 1e-9,
                  it_root_maxiter: int = 200,
-                 band_root_plan=None):
+                 band_root_plan=None,
+                 factored_inverse: bool = False):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -232,6 +233,13 @@ class ArrowBackend:
             ldl_kernel = (jnp.dtype(factor_dtype) == jnp.float32
                           and self.explicit_inverse)
         self.ldl_kernel = ldl_kernel
+        # factored-inverse leaf: keep (X = L^{-1}, d) from the LDL kernel
+        # and apply Neq^{-1} t = X' D^{-1} (X t) as two batched matmuls
+        # instead of materializing Ninv = X' D^{-1} X — drops one full
+        # [a, a] x [a, a] batched GEMM from every factorize at the cost
+        # of one extra [a, a] x [a, c] per multi-RHS solve (a win when
+        # the border count nS < a/2)
+        self.factored_inverse = factored_inverse and ldl_kernel
         # distributed root: column-shard the dual Schur complement over the
         # mesh axis and factorize it with the panel-blocked distributed
         # Cholesky (linalg/dist_root.py) — the linking dimension is no
@@ -363,6 +371,9 @@ class ArrowBackend:
             # one VMEM-resident pass replaces cholesky + 2 triangular solves
             from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
             Xf, df = ldl_inverse_factors(Neq)
+            if self.factored_inverse:
+                leaf_ok = jnp.all(jnp.isfinite(Xf)) & jnp.all(df > 0.0)
+                return (Xf, 1.0 / df), jnp.zeros((), fd), leaf_ok
             Ninv = jnp.einsum("ica,ic,icb->iab", Xf, 1.0 / df, Xf,
                               precision=jax.lax.Precision.HIGHEST)
             L = jnp.zeros((), fd)
@@ -385,6 +396,10 @@ class ArrowBackend:
 
     def _apply_Ninv_multi(self, L, Ninv, t):
         """Neq^{-1} t for multi-RHS t [N, a, c] via the stored leaf factor."""
+        if self.factored_inverse:
+            Xf, dinv = L
+            u = jnp.einsum("iab,ibc->iac", Xf, t)
+            return jnp.einsum("iba,ibc->iac", Xf, dinv[:, :, None] * u)
         if self.explicit_inverse:
             return jnp.einsum("iab,ibc->iac", Ninv, t)
         return _bchol_solve(L, t)
