@@ -58,12 +58,19 @@ class BandPlan:
 
 
 def plan_banded(lp: ArrowheadLP, panel: Optional[int] = None,
-                min_panel: int = 8) -> BandPlan:
+                min_panel: int = 8, shared: bool = False) -> BandPlan:
     """Symbolic analysis: RCM-order each block's row-connectivity graph.
 
     `lp` must be concrete (host numpy); the returned plan is baked into
     the backend as static data, like PARDISO's reusable symbolic
-    factorization (firstSolveCall, PardisoSchurSolver.C:84)."""
+    factorization (firstSolveCall, PardisoSchurSolver.C:84).
+
+    `shared=True` computes ONE ordering from the union pattern of all
+    blocks (perm/iperm are 1-D [a]).  Use it when blocks share the model
+    structure (multi-scenario instances) and for the distributed path:
+    inside shard_map each device holds a block shard and a per-block
+    permutation table cannot be closed over, but a block-independent one
+    can."""
     from scipy import sparse
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -72,26 +79,36 @@ def plan_banded(lp: ArrowheadLP, panel: Optional[int] = None,
     N = B.shape[0]
     a = B.shape[1] + D.shape[1]
 
-    perms = np.empty((N, a), np.int32)
-    h = 1
-    for i in range(N):
-        M = sparse.csr_matrix(
-            (np.concatenate([B[i], D[i]], axis=0) != 0.0).astype(np.int8))
+    def rcm_of(pattern):
+        M = sparse.csr_matrix(pattern.astype(np.int8))
         S = (M @ M.T).tocsr()
         p = np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True),
                        np.int32)
-        perms[i] = p
         pos = np.empty(a, np.int64)
         pos[p] = np.arange(a)
         coo = S.tocoo()
-        if coo.nnz:
-            h = max(h, int(np.max(np.abs(pos[coo.row] - pos[coo.col]))))
+        h = int(np.max(np.abs(pos[coo.row] - pos[coo.col]))) if coo.nnz \
+            else 1
+        return p, max(h, 1)
+
+    if shared:
+        union = (np.abs(B) > 0).any(axis=0)
+        union = np.concatenate([union, (np.abs(D) > 0).any(axis=0)], axis=0)
+        perms, h = rcm_of(union)
+        iperms = np.argsort(perms).astype(np.int32)
+    else:
+        perms = np.empty((N, a), np.int32)
+        h = 1
+        for i in range(N):
+            p, hi = rcm_of(np.concatenate([B[i], D[i]], axis=0) != 0.0)
+            perms[i] = p
+            h = max(h, hi)
+        iperms = np.argsort(perms, axis=1).astype(np.int32)
     if panel is None:
         panel = max(min_panel, -(-h // min_panel) * min_panel)
     elif panel < h:
         raise ValueError(f"panel {panel} < half-bandwidth {h}")
     n_panels = -(-a // panel)
-    iperms = np.argsort(perms, axis=1).astype(np.int32)
     return BandPlan(perm=perms, iperm=iperms, half_bandwidth=h,
                     panel=panel, n_panels=n_panels)
 
@@ -171,6 +188,13 @@ class BandArrowBackend(ArrowBackend):
         self._perm = jnp.asarray(plan.perm)
         self._iperm = jnp.asarray(plan.iperm)
 
+    def _permute(self, arr, perm):
+        """Gather rows (axis 1) by a [N, a] or shared [a] permutation."""
+        if perm.ndim == 1:
+            return jnp.take(arr, perm, axis=1)
+        idx = perm if arr.ndim == 2 else perm[:, :, None]
+        return jnp.take_along_axis(arr, idx, axis=1)
+
     # ---- leaf hooks ----
     def _leaf_factor(self, M, MEi, Fd):
         fd = self.factor_dtype
@@ -178,9 +202,9 @@ class BandArrowBackend(ArrowBackend):
         N, a, n = M.shape
         ap = nb * b
 
-        Mp = jnp.take_along_axis(M, self._perm[:, :, None], axis=1)
-        MEip = jnp.take_along_axis(MEi, self._perm[:, :, None], axis=1)
-        Fdp = jnp.take_along_axis(Fd, self._perm, axis=1)
+        Mp = self._permute(M, self._perm)
+        MEip = self._permute(MEi, self._perm)
+        Fdp = self._permute(Fd, self._perm)
         if ap > a:
             # pad with identity rows (decoupled, unit pivot)
             zrow = jnp.zeros((N, ap - a, n), M.dtype)
@@ -206,11 +230,11 @@ class BandArrowBackend(ArrowBackend):
         Ginv, C = L
         b, nb = self.plan.panel, self.plan.n_panels
         N, a, c = t.shape
-        tp = jnp.take_along_axis(t, self._perm[:, :, None], axis=1)
+        tp = self._permute(t, self._perm)
         if nb * b > a:
             tp = jnp.concatenate(
                 [tp, jnp.zeros((N, nb * b - a, c), t.dtype)], axis=1)
         r = tp.reshape(N, nb, b, c).transpose(1, 0, 2, 3)
         x = block_tridiag_solve(Ginv, C, r)
         xp = x.transpose(1, 0, 2, 3).reshape(N, nb * b, c)[:, :a]
-        return jnp.take_along_axis(xp, self._iperm[:, :, None], axis=1)
+        return self._permute(xp, self._iperm)

@@ -47,7 +47,9 @@ class DistributedIPMSolver:
     def __init__(self, mesh: Mesh, opts: Optional[Options] = None,
                  mode: str = "shard_map", factor_dtype=jnp.float64,
                  hier_groups: Optional[int] = None,
-                 dist_root: bool = False):
+                 dist_root: bool = False,
+                 be_cls: Optional[type] = None,
+                 backend_kw: Optional[dict] = None):
         """`hier_groups`: use the hierarchical (two-level Schur) backend
         with that many block groups — groups are sharded with the blocks,
         so `hier_groups` must be a multiple of the mesh size (the
@@ -57,6 +59,12 @@ class DistributedIPMSolver:
         `dist_root`: column-shard + distribute the root (dual Schur)
         factorization over the mesh (shard_map mode only) — the analog of
         the reference's MUMPS distributed root (MumpsSolverBase.h:28-72).
+
+        `be_cls`/`backend_kw`: substitute a structure-exploiting leaf
+        backend (e.g. `BandArrowBackend` with a SHARED band plan — inside
+        shard_map each device holds a block shard, so per-block symbolic
+        tables must be block-independent) and/or extra backend kwargs
+        (e.g. `band_root_plan=`).
         """
         assert mode in ("gspmd", "shard_map")
         if dist_root and mode != "shard_map":
@@ -69,10 +77,16 @@ class DistributedIPMSolver:
         self.opts = opts or Options()
         self.factor_dtype = factor_dtype
         self.hier_groups = hier_groups
+        self.be_cls = be_cls
+        self.backend_kw = dict(backend_kw or {})
+        if be_cls is not None and hier_groups is not None:
+            raise ValueError("be_cls is exclusive with hier_groups")
         self._hier_meta = None
         if mode == "gspmd":
             if hier_groups is None:
-                ctor = partial(ArrowBackend, factor_dtype=factor_dtype)
+                ctor = partial(be_cls or ArrowBackend,
+                               factor_dtype=factor_dtype,
+                               **self.backend_kw)
                 self._inner = IPMSolver(ctor, self.opts)
             else:
                 self._inner = None   # ctor needs the meta; built in solve()
@@ -99,12 +113,12 @@ class DistributedIPMSolver:
             if distributed:
                 kw.update(axis=BLOCK_AXIS, n_shards=self.mesh.size)
             return partial(HierArrowBackend, **kw)
-        kw = dict(factor_dtype=self.factor_dtype)
+        kw = dict(factor_dtype=self.factor_dtype, **self.backend_kw)
         if distributed:
             kw.update(axis=BLOCK_AXIS)
             if self.dist_root:
                 kw.update(dist_root=True, n_shards=self.mesh.size)
-        return partial(ArrowBackend, **kw)
+        return partial(self.be_cls or ArrowBackend, **kw)
 
     # ------------------------------------------------------------------
     def _solve_shard_map(self, lp, callback):

@@ -113,3 +113,28 @@ def test_band_factor_memory_is_linear_in_bandwidth():
         np.testing.assert_allclose(np.asarray(got)[i],
                                    np.linalg.solve(Neq[i], t[i]),
                                    rtol=1e-8, atol=1e-8)
+
+
+def test_band_backend_distributed_matches_single_device():
+    """Banded leaf with a SHARED (block-independent) RCM plan over the
+    8-virtual-device mesh, both distribution modes, vs single device."""
+    from pips_ipmpp_tpu.parallel.dist_solver import DistributedIPMSolver
+    from pips_ipmpp_tpu.parallel.mesh import make_mesh
+
+    lp = banded_arrowhead_lp(4, N=8, n=64, mE=32, mI=32, window=5,
+                             dtype=jnp.float64)
+    plan = plan_banded(lp, shared=True)
+    assert plan.perm.ndim == 1
+    ref = IPMSolver(partial(BandArrowBackend, plan=plan,
+                            factor_dtype=jnp.float64)).solve(lp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    for mode in ("gspmd", "shard_map"):
+        solver = DistributedIPMSolver(
+            make_mesh(8), mode=mode, be_cls=BandArrowBackend,
+            backend_kw=dict(plan=plan))
+        res = solver.solve(lp)
+        assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION, mode
+        assert res.iterations == ref.iterations, mode
+        np.testing.assert_allclose(float(res.objective),
+                                   float(ref.objective), rtol=1e-8,
+                                   err_msg=mode)

@@ -76,3 +76,25 @@ def test_band_root_ipm_matches_dense_root(n_global):
     assert r_band.iterations == r_dense.iterations
     np.testing.assert_allclose(float(r_band.objective),
                                float(r_dense.objective), rtol=1e-8)
+
+
+def test_band_root_distributed_matches_single_device():
+    """Banded root under shard_map over the 8-device mesh: the root stays
+    replicated, the banded dual-SC factorization runs identically on every
+    device."""
+    from pips_ipmpp_tpu.parallel.dist_solver import DistributedIPMSolver
+    from pips_ipmpp_tpu.parallel.mesh import make_mesh
+
+    lp = klink_arrowhead_lp(2, N=8, links_per_block=2, klink=2,
+                            dtype=jnp.float64)
+    plan = plan_banded_root(lp)
+    ref = IPMSolver(partial(ArrowBackend, band_root_plan=plan,
+                            factor_dtype=jnp.float64)).solve(lp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    solver = DistributedIPMSolver(make_mesh(8), mode="shard_map",
+                                  backend_kw=dict(band_root_plan=plan))
+    res = solver.solve(lp)
+    assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert res.iterations == ref.iterations
+    np.testing.assert_allclose(float(res.objective), float(ref.objective),
+                               rtol=1e-8)
