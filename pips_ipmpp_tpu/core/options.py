@@ -113,6 +113,15 @@ class Options:
     sc_diag_dom_bound: float = 0.001       # diagDomBounds[0]
     it_root_tol: float = 1e-9
     it_root_maxiter: int = 200
+    # structure exploitation (the reference's sparse leaf solver and
+    # 2-link sparse-SC machinery): banded_leaf factors each block's
+    # condensed normal equations block-tridiagonally after a host-side
+    # RCM ordering (linalg/band_backend.py); banded_root orders linking
+    # rows by block-support window and factors the dual Schur complement
+    # banded (linalg/band_root.py).  Both plan from the LP handed to the
+    # interface (patterns only shrink under presolve/scaling).
+    banded_leaf: bool = False
+    banded_root: bool = False
 
     # ---- preprocessing ----
     scaler: ScalerType = ScalerType.NONE

@@ -72,14 +72,26 @@ class PIPSIPMppTPUInterface:
                                      self.options)
         elif isinstance(lp, ArrowheadLP):
             from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
-            self._solver = IPMSolver(
-                partial(ArrowBackend, factor_dtype=fd,
-                        blockwise_sc=self.options.sc_blockwise,
-                        iterative_root=self.options.iterative_root_panel,
-                        sc_diag_dom_bound=self.options.sc_diag_dom_bound,
-                        it_root_tol=self.options.it_root_tol,
-                        it_root_maxiter=self.options.it_root_maxiter),
-                self.options)
+            be_cls = ArrowBackend
+            kw = dict(factor_dtype=fd,
+                      blockwise_sc=self.options.sc_blockwise,
+                      iterative_root=self.options.iterative_root_panel,
+                      sc_diag_dom_bound=self.options.sc_diag_dom_bound,
+                      it_root_tol=self.options.it_root_tol,
+                      it_root_maxiter=self.options.it_root_maxiter)
+            if (self.options.banded_leaf or self.options.banded_root) \
+                    and self.options.hierarchical:
+                raise ValueError("banded_leaf/banded_root are exclusive "
+                                 "with hierarchical mode")
+            if self.options.banded_leaf:
+                from pips_ipmpp_tpu.linalg.band_backend import (
+                    BandArrowBackend, plan_banded)
+                be_cls = BandArrowBackend
+                kw["plan"] = plan_banded(lp)
+            if self.options.banded_root:
+                from pips_ipmpp_tpu.linalg.band_root import plan_banded_root
+                kw["band_root_plan"] = plan_banded_root(lp)
+            self._solver = IPMSolver(partial(be_cls, **kw), self.options)
         elif _is_sparse_arrowhead(lp):
             from pips_ipmpp_tpu.linalg.sparse_backend import \
                 SparseArrowBackend

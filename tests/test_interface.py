@@ -109,3 +109,23 @@ def test_gather_objective_consistency():
     x = iface.gatherPrimalSolution()
     c = np.concatenate([np.asarray(lp.c0), np.asarray(lp.cN).reshape(-1)])
     assert iface.getObjective() == pytest.approx(float(c @ x), rel=1e-10)
+
+
+def test_facade_banded_options():
+    """Options(banded_leaf=True, banded_root=True) picks the structure-
+    exploiting backends declaratively (planning happens inside the
+    facade)."""
+    import jax.numpy as jnp
+    from pips_ipmpp_tpu.io.synthetic import banded_arrowhead_lp
+    lp = banded_arrowhead_lp(6, N=4, n=64, mE=32, mI=32, window=5,
+                             dtype=jnp.float64)
+    base = PIPSIPMppTPUInterface(lp, Options())
+    assert base.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    iface = PIPSIPMppTPUInterface(
+        lp, Options(banded_leaf=True, banded_root=True))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - base.getObjective()) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        PIPSIPMppTPUInterface(lp, Options(banded_leaf=True,
+                                          hierarchical=True))
