@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pips_ipmpp_tpu.core.lp import ArrowheadLP
-from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend, _bchol_solve
 
 
 @dataclass(frozen=True)
@@ -54,16 +54,24 @@ class BandPlan:
     iperm: np.ndarray      # [N, a] permuted position of original row
     half_bandwidth: int    # max over blocks, in the permuted order
     panel: int             # block-tridiagonal panel size b (>= half_bw)
-    n_panels: int          # nb; nb * b >= a
+    n_panels: int          # nb; nb * b >= a - n_dense
+    n_dense: int = 0       # trailing peeled dense rows (Schur-handled)
 
 
 def plan_banded(lp: ArrowheadLP, panel: Optional[int] = None,
-                min_panel: int = 8, shared: bool = False) -> BandPlan:
+                min_panel: int = 8, shared: bool = False,
+                max_dense_frac: float = 0.1) -> BandPlan:
     """Symbolic analysis: RCM-order each block's row-connectivity graph.
 
     `lp` must be concrete (host numpy); the returned plan is baked into
     the backend as static data, like PARDISO's reusable symbolic
     factorization (firstSolveCall, PardisoSchurSolver.C:84).
+
+    Rows with near-global support (cost/budget rows) would inflate the
+    bandwidth to O(a); they are PEELED into a trailing dense block
+    (capped at `max_dense_frac` of the rows, classified by connectivity
+    degree) and handled by a small Schur complement at solve time — the
+    dense-row treatment of multifrontal sparse codes.
 
     `shared=True` computes ONE ordering from the union pattern of all
     blocks (perm/iperm are 1-D [a]).  Use it when blocks share the model
@@ -78,39 +86,72 @@ def plan_banded(lp: ArrowheadLP, panel: Optional[int] = None,
     D = np.asarray(lp.D)
     N = B.shape[0]
     a = B.shape[1] + D.shape[1]
+    max_dense = int(max_dense_frac * a)
 
-    def rcm_of(pattern):
+    def graph_of(pattern):
         M = sparse.csr_matrix(pattern.astype(np.int8))
-        S = (M @ M.T).tocsr()
-        p = np.asarray(reverse_cuthill_mckee(S, symmetric_mode=True),
+        return (M @ M.T).tocsr()
+
+    def dense_rows_of(S):
+        """Peel rows whose connectivity degree dwarfs the median."""
+        if not max_dense:
+            return np.zeros(0, np.int64)
+        deg = np.diff(S.indptr)
+        med = max(np.median(deg), 1.0)
+        cand = np.nonzero(deg > max(32, 8 * med))[0]
+        if cand.size > max_dense:
+            cand = cand[np.argsort(deg[cand])[::-1][:max_dense]]
+        return np.sort(cand)
+
+    def rcm_of(S, keep):
+        """RCM over the kept subgraph; returns (perm over keep, h)."""
+        Ssub = S[keep][:, keep].tocsr()
+        p = np.asarray(reverse_cuthill_mckee(Ssub, symmetric_mode=True),
                        np.int32)
-        pos = np.empty(a, np.int64)
-        pos[p] = np.arange(a)
-        coo = S.tocoo()
+        m = keep.size
+        pos = np.empty(m, np.int64)
+        pos[p] = np.arange(m)
+        coo = Ssub.tocoo()
         h = int(np.max(np.abs(pos[coo.row] - pos[coo.col]))) if coo.nnz \
             else 1
-        return p, max(h, 1)
+        return keep[p].astype(np.int32), max(h, 1)
+
+    def analyze(pattern):
+        S = graph_of(pattern)
+        dense = dense_rows_of(S)
+        keep = np.setdiff1d(np.arange(a), dense)
+        band_perm, h = rcm_of(S, keep)
+        return band_perm, dense.astype(np.int32), h
 
     if shared:
         union = (np.abs(B) > 0).any(axis=0)
         union = np.concatenate([union, (np.abs(D) > 0).any(axis=0)], axis=0)
-        perms, h = rcm_of(union)
+        bp, dn, h = analyze(union)
+        k = dn.size
+        perms = np.concatenate([bp, dn])
         iperms = np.argsort(perms).astype(np.int32)
     else:
+        results = [analyze(np.concatenate([B[i], D[i]], axis=0) != 0.0)
+                   for i in range(N)]
+        k = max(r[1].size for r in results)
+        h = max(r[2] for r in results)
         perms = np.empty((N, a), np.int32)
-        h = 1
-        for i in range(N):
-            p, hi = rcm_of(np.concatenate([B[i], D[i]], axis=0) != 0.0)
-            perms[i] = p
-            h = max(h, hi)
+        for i, (bp, dn, _h) in enumerate(results):
+            pad = k - dn.size
+            # pad the dense set from the TAIL of the band ordering (any
+            # rows are correct there; trailing band rows are cheapest)
+            perms[i] = np.concatenate([bp[:bp.size - pad], dn,
+                                       bp[bp.size - pad:]])
         iperms = np.argsort(perms, axis=1).astype(np.int32)
+    ab = a - k
     if panel is None:
         panel = max(min_panel, -(-h // min_panel) * min_panel)
+        panel = min(panel, max(ab, min_panel))
     elif panel < h:
         raise ValueError(f"panel {panel} < half-bandwidth {h}")
-    n_panels = -(-a // panel)
+    n_panels = max(-(-ab // panel), 1) if ab else 1
     return BandPlan(perm=perms, iperm=iperms, half_bandwidth=h,
-                    panel=panel, n_panels=n_panels)
+                    panel=panel, n_panels=n_panels, n_dense=k)
 
 
 def _bmm(x, y, tb=False):
@@ -196,45 +237,80 @@ class BandArrowBackend(ArrowBackend):
         return jnp.take_along_axis(arr, idx, axis=1)
 
     # ---- leaf hooks ----
+    def _band_rhs_solve(self, Ginv, C, t):
+        """Band-part solve for t [N, ab, c] (already permuted/split)."""
+        b, nb = self.plan.panel, self.plan.n_panels
+        N, ab, c = t.shape
+        if nb * b > ab:
+            t = jnp.concatenate(
+                [t, jnp.zeros((N, nb * b - ab, c), t.dtype)], axis=1)
+        r = t.reshape(N, nb, b, c).transpose(1, 0, 2, 3)
+        x = block_tridiag_solve(Ginv, C, r)
+        return x.transpose(1, 0, 2, 3).reshape(N, nb * b, c)[:, :ab]
+
     def _leaf_factor(self, M, MEi, Fd):
         fd = self.factor_dtype
-        b, nb = self.plan.panel, self.plan.n_panels
+        plan = self.plan
+        b, nb, k = plan.panel, plan.n_panels, plan.n_dense
         N, a, n = M.shape
+        ab = a - k
         ap = nb * b
 
-        Mp = self._permute(M, self._perm)
-        MEip = self._permute(MEi, self._perm)
-        Fdp = self._permute(Fd, self._perm)
-        if ap > a:
+        Mp = self._permute(M, self._perm).astype(fd)
+        MEip = self._permute(MEi, self._perm).astype(fd)
+        Fdp = self._permute(Fd, self._perm).astype(fd)
+        Mb, Md = Mp[:, :ab], Mp[:, ab:]
+        Eb, Ed = MEip[:, :ab], MEip[:, ab:]
+        Fb, Fdd = Fdp[:, :ab], Fdp[:, ab:]
+        if ap > ab:
             # pad with identity rows (decoupled, unit pivot)
-            zrow = jnp.zeros((N, ap - a, n), M.dtype)
-            Mp = jnp.concatenate([Mp, zrow], axis=1)
-            MEip = jnp.concatenate([MEip, zrow], axis=1)
-            Fdp = jnp.concatenate(
-                [Fdp, jnp.ones((N, ap - a), Fd.dtype)], axis=1)
+            zrow = jnp.zeros((N, ap - ab, n), fd)
+            Mb = jnp.concatenate([Mb, zrow], axis=1)
+            Eb = jnp.concatenate([Eb, zrow], axis=1)
+            Fb = jnp.concatenate(
+                [Fb, jnp.ones((N, ap - ab), fd)], axis=1)
 
-        Mr = Mp.reshape(N, nb, b, n).astype(fd)
-        Er = MEip.reshape(N, nb, b, n).astype(fd)
+        Mr = Mb.reshape(N, nb, b, n)
+        Er = Eb.reshape(N, nb, b, n)
         # only the tridiagonal band of Neq is formed (entries outside are
         # structurally zero by the bandwidth bound): [nb, N, b, b]
         Adiag = (jnp.einsum("iKan,iKcn->Kiac", Er, Mr)
                  + jax.vmap(jax.vmap(jnp.diag))(
-                     Fdp.reshape(N, nb, b).astype(fd)).transpose(1, 0, 2, 3))
+                     Fb.reshape(N, nb, b)).transpose(1, 0, 2, 3))
         Asub = jnp.concatenate([
             jnp.einsum("iKan,iKcn->Kiac", Er[:, 1:], Mr[:, :-1]),
             jnp.zeros((1, N, b, b), fd)], axis=0)
         Ginv, C, ok = block_tridiag_factor(Adiag, Asub)
-        return (Ginv, C), jnp.zeros((), fd), ok
+        if k == 0:
+            return (Ginv, C), jnp.zeros((), fd), ok
+
+        # peeled dense rows: small trailing Schur complement
+        #   Neq = [[Bb, U], [U', Dd]];  S = Dd - U' Bb^{-1} U
+        U = jnp.einsum("ian,icn->iac", Eb[:, :ab], Md)       # [N, ab, k]
+        W = self._band_rhs_solve(Ginv, C, U)                 # Bb^{-1} U
+        Dd = (jnp.einsum("ian,icn->iac", Ed, Md)
+              + jax.vmap(jnp.diag)(Fdd))
+        S = Dd - jnp.einsum("iam,iac->imc", U, W)            # [N, k, k]
+        cholS = jnp.linalg.cholesky(S)
+        eye_k = jnp.broadcast_to(jnp.eye(k, dtype=fd), (N, k, k))
+        Sinv = _bchol_solve(cholS, eye_k)
+        ok = ok & jnp.all(jnp.isfinite(Sinv))
+        return (Ginv, C, U, W, Sinv), jnp.zeros((), fd), ok
 
     def _apply_Ninv_multi(self, L, Ninv, t):
-        Ginv, C = L
-        b, nb = self.plan.panel, self.plan.n_panels
+        k = self.plan.n_dense
         N, a, c = t.shape
+        ab = a - k
         tp = self._permute(t, self._perm)
-        if nb * b > a:
-            tp = jnp.concatenate(
-                [tp, jnp.zeros((N, nb * b - a, c), t.dtype)], axis=1)
-        r = tp.reshape(N, nb, b, c).transpose(1, 0, 2, 3)
-        x = block_tridiag_solve(Ginv, C, r)
-        xp = x.transpose(1, 0, 2, 3).reshape(N, nb * b, c)[:, :a]
+        if k == 0:
+            Ginv, C = L
+            xp = self._band_rhs_solve(Ginv, C, tp)
+        else:
+            Ginv, C, U, W, Sinv = L
+            t1, t2 = tp[:, :ab], tp[:, ab:]
+            u1 = self._band_rhs_solve(Ginv, C, t1)
+            rhs2 = t2 - jnp.einsum("iam,iac->imc", U, u1)
+            x2 = jnp.einsum("imk,ikc->imc", Sinv, rhs2)
+            x1 = u1 - jnp.einsum("iak,ikc->iac", W, x2)
+            xp = jnp.concatenate([x1, x2], axis=1)
         return self._permute(xp, self._iperm)

@@ -138,3 +138,53 @@ def test_band_backend_distributed_matches_single_device():
         np.testing.assert_allclose(float(res.objective),
                                    float(ref.objective), rtol=1e-8,
                                    err_msg=mode)
+
+
+def test_dense_row_peeling():
+    """Planted near-global rows must be peeled into the trailing Schur
+    block (multifrontal dense-row treatment) instead of inflating the
+    bandwidth, and solves must stay exact."""
+    lp = banded_arrowhead_lp(5, N=3, n=128, mE=64, mI=64, window=4,
+                             dtype=jnp.float64)
+    # plant two dense equality rows per block
+    import dataclasses
+    B = np.asarray(lp.B).copy()
+    rng = np.random.default_rng(0)
+    B[:, 10, :] = rng.normal(size=(lp.N, lp.n)) * 0.1
+    B[:, 40, :] = rng.normal(size=(lp.N, lp.n)) * 0.1
+    lp2 = dataclasses.replace(lp, B=jnp.asarray(B))
+
+    plain = plan_banded(lp, max_dense_frac=0.0)
+    peeled = plan_banded(lp2)
+    blown = plan_banded(lp2, max_dense_frac=0.0)
+    assert peeled.n_dense >= 2
+    # peeling restores the narrow bandwidth the dense rows destroyed
+    assert blown.half_bandwidth > lp.mE
+    assert peeled.half_bandwidth <= plain.half_bandwidth + 2
+
+    # exactness: banded+peeled solve equals the dense oracle
+    be = BandArrowBackend(lp2, plan=peeled, factor_dtype=jnp.float64)
+    a = lp2.mE + lp2.mI
+    M = jnp.concatenate([lp2.B, lp2.D], axis=1)
+    Einv = 0.5 + 0.1 * jnp.arange(lp2.n, dtype=jnp.float64)
+    MEi = M * Einv[None, None, :]
+    Fd = 1.0 + 0.01 * jnp.arange(a, dtype=jnp.float64)[None, :] \
+        * jnp.ones((lp2.N, 1))
+    L, Ninv, ok = be._leaf_factor(M, MEi, Fd)
+    assert bool(ok)
+    Neq = np.einsum("iak,ibk->iab", np.asarray(MEi), np.asarray(M)) \
+        + np.stack([np.diag(np.asarray(Fd)[i]) for i in range(lp2.N)])
+    t = np.random.default_rng(1).normal(size=(lp2.N, a, 3))
+    got = np.asarray(be._apply_Ninv_multi(L, Ninv, jnp.asarray(t)))
+    for i in range(lp2.N):
+        np.testing.assert_allclose(got[i], np.linalg.solve(Neq[i], t[i]),
+                                   rtol=1e-8, atol=1e-8)
+
+    # end-to-end: IPM on the planted LP matches the dense backend
+    r_dense = IPMSolver(partial(ArrowBackend,
+                                factor_dtype=jnp.float64)).solve(lp2)
+    r_band = IPMSolver(partial(BandArrowBackend, plan=peeled,
+                               factor_dtype=jnp.float64)).solve(lp2)
+    assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    np.testing.assert_allclose(float(r_band.objective),
+                               float(r_dense.objective), rtol=1e-7)
