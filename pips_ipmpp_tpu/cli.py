@@ -3,6 +3,7 @@
 
     python -m pips_ipmpp_tpu.cli <N+1> <stem> [scaleGeo|scale|scaleEqui|
         scaleCurtisReid] [stepLp] [presolve] [printsol] [hierarchical]
+        [bandedLeaf] [bandedRoot]
 
 reads `<stem>_block*.npz` files (the GDX replacement), solves, and
 optionally writes `<stem>_solution.npz`.  Also accepts `--mps FILE` for the
@@ -70,6 +71,10 @@ def main(argv=None) -> int:
         elif f == "hierarchical":
             hierarchical = True
             opts = opts.replace(hierarchical=True)
+        elif f == "bandedleaf":
+            opts = opts.replace(banded_leaf=True)
+        elif f == "bandedroot":
+            opts = opts.replace(banded_root=True)
         elif f.endswith(".opt"):
             opts = Options.from_opt_file(flag, base=opts)
         else:
