@@ -67,3 +67,18 @@ def test_reference_instances_through_interface(name):
     status = iface.run()
     assert status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(float(iface.getObjective()) - entry["objective"]) < OBJ_TOL
+
+
+@pytest.mark.parametrize("name", ["exampleAC_boundStrength",
+                                  "hier_approach_8blocks_2by3",
+                                  "parallelEqualityRows_B0A2"])
+def test_reference_instances_banded_backends(name):
+    """The structure-exploiting backends must reproduce the reference's
+    recorded objectives on its own instances (banded leaf + banded root
+    planned automatically inside the facade)."""
+    entry = next(m for m in MANIFEST if m["name"] == name)
+    lp = read_blocks(os.path.join(DATA, name), n_blocks=entry["n_files"])
+    iface = PIPSIPMppTPUInterface(
+        lp, Options(banded_leaf=True, banded_root=True))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - entry["objective"]) < OBJ_TOL
