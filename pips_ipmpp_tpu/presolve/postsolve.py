@@ -332,19 +332,29 @@ class Postsolver:
             total += float(np.sum(np.where(
                 red > 0, np.where(at_lo, 0.0, red),
                 np.where(at_up, 0.0, -red))))
-        for rb, m in ([(FIRST, lp.iclow0.size), (LINK, lp.iclowl.size)]
-                      + [(i, lp.iclowN.shape[1]) for i in range(lp.N)]):
-            for r in range(m):
-                z = sol.zdual(rb)[r]
-                if abs(z) <= tol:
-                    continue
-                il, lo, iu, up = self._orig_ineq_bounds(rb, r)
-                act = np_row_activity_ineq(lp, sol, rb, r)
-                if z > 0:
-                    s = abs(act - lo) if il > 0 else 1.0 + abs(z)
-                else:
-                    s = abs(up - act) if iu > 0 else 1.0 + abs(z)
-                total += abs(z) * min(s, 1.0)
+        # ineq multipliers: vectorized per scope (the score runs once per
+        # tentative transfer, so the row sweep must not be a Python loop)
+        def zscore(z, act, il, lo, iu, up):
+            az = np.abs(z)
+            live = az > tol
+            if not live.any():
+                return 0.0
+            s = np.where(z > 0,
+                         np.where(il > 0, np.abs(act - lo), 1.0 + az),
+                         np.where(iu > 0, np.abs(up - act), 1.0 + az))
+            return float(np.sum(np.where(live, az * np.minimum(s, 1.0),
+                                         0.0)))
+
+        total += zscore(sol.z0, lp.C0 @ sol.x0, lp.iclow0, lp.clow0,
+                        lp.icupp0, lp.cupp0)
+        actl = lp.G0 @ sol.x0 + sum(lp.G[i] @ sol.xN[i]
+                                    for i in range(lp.N))
+        total += zscore(sol.zl, actl, lp.iclowl, lp.clowl,
+                        lp.icuppl, lp.cuppl)
+        for i in range(lp.N):
+            acti = lp.C[i] @ sol.x0 + lp.D[i] @ sol.xN[i]
+            total += zscore(sol.zN[i], acti, lp.iclowN[i], lp.clowN[i],
+                            lp.icuppN[i], lp.cuppN[i])
         return total
 
     def _rows_of_var(self, blk, j):
