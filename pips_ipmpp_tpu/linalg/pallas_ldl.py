@@ -30,6 +30,7 @@ A^{-1} = X^T diag(1/d) X with one batched MXU einsum.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -156,12 +157,12 @@ def _pick_group(batch: int, a: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _ldl_call(A, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "panel"))
+def _ldl_call(A, interpret=False, panel=None):
     B, a, _ = A.shape
     g = _pick_group(B, a)
     grid = B // g
-    panel = min(PANEL, a)
+    panel = min(panel or PANEL, a)
     kern = functools.partial(_ldl_kernel, a=a, panel=panel)
     X, d = pl.pallas_call(
         kern,
@@ -183,7 +184,7 @@ def _ldl_call(A, interpret=False):
     return X, d
 
 
-def ldl_inverse_factors(A: jax.Array, interpret=None):
+def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None):
     """Batched LDL^T of A [B, a, a] -> (X, d) with A^{-1} = X^T D^{-1} X.
 
     X is L^{-1} (unit lower triangular), d the pivot vector [B, a]
@@ -191,19 +192,25 @@ def ldl_inverse_factors(A: jax.Array, interpret=None):
     defaults to the Pallas interpreter on non-TPU backends so CPU tests
     run unchanged.  Dimensions not divisible by the panel size are padded
     with an identity tail (exact: the padded inverse is block-diagonal).
+    `panel` overrides the elimination panel width (default PANEL=16;
+    also settable via env PIPS_LDL_PANEL) — larger panels shorten the
+    sequential panel chain at the cost of a longer in-panel loop.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if panel is None:
+        panel = int(os.environ.get("PIPS_LDL_PANEL", "0")) or None
+    pw = panel or PANEL
     B, a, _ = A.shape
-    pad = 0 if a <= PANEL else (-a) % PANEL
+    pad = 0 if a <= pw else (-a) % pw
     if pad:
         eye = jnp.broadcast_to(jnp.eye(pad, dtype=A.dtype), (B, pad, pad))
         Ap = jnp.zeros((B, a + pad, a + pad), A.dtype)
         Ap = Ap.at[:, :a, :a].set(A)
         Ap = Ap.at[:, a:, a:].set(eye)
-        X, d = _ldl_call(Ap, interpret=interpret)
+        X, d = _ldl_call(Ap, interpret=interpret, panel=panel)
         return X[:, :a, :a], d[:, :a]
-    return _ldl_call(A, interpret=interpret)
+    return _ldl_call(A, interpret=interpret, panel=panel)
 
 
 def batched_inverse(A: jax.Array, interpret=None) -> jax.Array:
