@@ -67,6 +67,10 @@ class PIPSIPMppTPUInterface:
 
         fd = resolve_factor_dtype(self.options)
         if isinstance(lp, DenseLP):
+            if self.options.banded_leaf or self.options.banded_root:
+                import warnings
+                warnings.warn("banded_leaf/banded_root apply to "
+                              "ArrowheadLP only; ignored for DenseLP")
             from pips_ipmpp_tpu.linalg.dense_backend import DenseBackend
             self._solver = IPMSolver(partial(DenseBackend, factor_dtype=fd),
                                      self.options)

@@ -282,78 +282,47 @@ def read_mps_with_info(path: str, dtype=jnp.float64, format: str = "free",
     col_idx = {cn: j for j, cn in enumerate(col_names)}
     n = len(col_names)
 
-    eq_rows = [r for r, t in rows.items() if t == "E" and r not in ranges]
-    iq_rows = [r for r, t in rows.items() if t != "E" or r in ranges]
+    row_list = list(rows.keys())           # declaration order
+    row_pos = {rn: i for i, rn in enumerate(row_list)}
+    types = np.array([rows[rn] for rn in row_list]) if row_list else \
+        np.zeros(0, dtype="<U1")
+    eq_rows = [row_pos[r] for r, t in rows.items()
+               if t == "E" and r not in ranges]
+    iq_rows = [row_pos[r] for r, t in rows.items()
+               if t != "E" or r in ranges]
 
-    mE, mI = len(eq_rows), len(iq_rows)
-    A = np.zeros((mE, n))
-    C = np.zeros((mI, n))
-    b = np.zeros(mE)
-    iclow = np.zeros(mI)
-    clow = np.zeros(mI)
-    icupp = np.zeros(mI)
-    cupp = np.zeros(mI)
-
-    eq_idx = {r: i for i, r in enumerate(eq_rows)}
-    iq_idx = {r: i for i, r in enumerate(iq_rows)}
+    coo_r, coo_c, coo_v = [], [], []
     for cn, entries in cols.items():
         j = col_idx[cn]
         for rn, val in entries.items():
-            if rn in eq_idx:
-                A[eq_idx[rn], j] = val
-            else:
-                C[iq_idx[rn], j] = val
-    for r in eq_rows:
-        b[eq_idx[r]] = rhs.get(r, 0.0)
-    for r in iq_rows:
-        i = iq_idx[r]
-        t = rows[r]
-        rv = rhs.get(r, 0.0)
-        rng = ranges.get(r)
-        if t == "L":
-            icupp[i], cupp[i] = 1.0, rv
-            if rng is not None:
-                iclow[i], clow[i] = 1.0, rv - abs(rng)
-        elif t == "G":
-            iclow[i], clow[i] = 1.0, rv
-            if rng is not None:
-                icupp[i], cupp[i] = 1.0, rv + abs(rng)
-        else:  # ranged E row
-            if rng is None:
-                rng = 0.0
-            lo, up = ((rv, rv + rng) if rng >= 0 else (rv + rng, rv))
-            iclow[i], clow[i] = 1.0, lo
-            icupp[i], cupp[i] = 1.0, up
+            coo_r.append(row_pos[rn])
+            coo_c.append(j)
+            coo_v.append(val)
 
-    ixlow = np.ones(n)
-    xlow = np.zeros(n)
-    ixupp = np.zeros(n)
-    xupp = np.zeros(n)
+    lo_arr = np.zeros(n)
+    up_arr = np.full(n, np.inf)
     for cn, bset in bounds.items():
         if cn not in col_idx:
             continue
         j = col_idx[cn]
-        lo = bset.get("lo", 0.0)
-        up = bset.get("up", np.inf)
-        if np.isfinite(lo):
-            ixlow[j], xlow[j] = 1.0, lo
-        else:
-            ixlow[j], xlow[j] = 0.0, 0.0
-        if np.isfinite(up):
-            ixupp[j], xupp[j] = 1.0, up
+        lo_arr[j] = bset.get("lo", 0.0)
+        up_arr[j] = bset.get("up", np.inf)
 
     c = np.array([obj.get(cn, 0.0) for cn in col_names])
     if maximize:
         c = -c
 
+    lp = _assemble_lp(
+        eq_rows, iq_rows, types,
+        rhs_of=lambda r: rhs.get(row_list[r], 0.0),
+        rng_of=lambda r: ranges.get(row_list[r]),
+        coo=(np.asarray(coo_r, np.int64), np.asarray(coo_c, np.int64),
+             np.asarray(coo_v, np.float64)),
+        obj=c, bounds_lo=lo_arr, bounds_up=up_arr, dtype=dtype)
+
     info.objective_row = obj_row or ""
     info.maximize = maximize
-    info.row_names = eq_rows + iq_rows
+    info.row_names = [row_list[r] for r in eq_rows + iq_rows]
     info.col_names = col_names
     info.free_rows = sorted(free_rows)
-
-    f = lambda v: jnp.asarray(v, dtype)
-    lp = DenseLP(c=f(c), A=f(A), b=f(b), C=f(C),
-                 iclow=f(iclow), clow=f(clow), icupp=f(icupp), cupp=f(cupp),
-                 ixlow=f(ixlow), xlow=f(xlow), ixupp=f(ixupp), xupp=f(xupp))
     return lp, info

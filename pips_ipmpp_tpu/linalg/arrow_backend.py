@@ -529,22 +529,35 @@ class ArrowBackend:
             from pips_ipmpp_tpu.linalg.band_backend import (
                 block_tridiag_factor)
             plan = self.band_root_plan
-            b, nb = plan.panel, plan.n_panels
+            b, nb, kd = plan.panel, plan.n_panels, plan.n_dense
+            nband = nD - kd
             P = self._rb_perm
-            SDD = -(S22[P][:, P]).astype(fd)             # SPD, banded
-            pad = nb * b - nD
+            SDD = -(S22[P][:, P]).astype(fd)             # SPD, banded+dense
+            Bb = SDD[:nband, :nband]
+            pad = nb * b - nband
             if pad:
-                SDD = jnp.pad(SDD, ((0, pad), (0, pad)))
-                SDD = SDD.at[nD:, nD:].set(jnp.eye(pad, dtype=fd))
-            Adiag = jnp.stack([SDD[k * b:(k + 1) * b, k * b:(k + 1) * b]
+                Bb = jnp.pad(Bb, ((0, pad), (0, pad)))
+                Bb = Bb.at[nband:, nband:].set(jnp.eye(pad, dtype=fd))
+            Adiag = jnp.stack([Bb[k * b:(k + 1) * b, k * b:(k + 1) * b]
                                for k in range(nb)])[:, None]
             Asub = jnp.stack(
-                [SDD[(k + 1) * b:(k + 2) * b, k * b:(k + 1) * b]
+                [Bb[(k + 1) * b:(k + 2) * b, k * b:(k + 1) * b]
                  for k in range(nb - 1)]
                 + [jnp.zeros((b, b), fd)])[:, None]
-            RbG, RbC, okd = block_tridiag_factor(Adiag, Asub)
+            Ginv, Cb, okd = block_tridiag_factor(Adiag, Asub)
+            if kd:
+                # peeled wide/global linking rows: trailing dense Schur
+                Ud = SDD[:nband, nband:]                 # [nband, kd]
+                Wdns = self._rb_band_solve(Ginv, Cb, Ud)
+                Sd_ = SDD[nband:, nband:] - Ud.T @ Wdns
+                cholSd = jnp.linalg.cholesky(Sd_)
+                Sdinv_d = _spd_solve(cholSd, jnp.eye(kd, dtype=fd))
+                okd = okd & jnp.all(jnp.isfinite(Sdinv_d))
+                Rb = (Ginv, Cb, Ud, Wdns, Sdinv_d)
+            else:
+                Rb = (Ginv, Cb)
             S12p = S12[:, P].astype(fd)                  # [n0, nD]
-            Td = self._rb_solve(RbG, RbC, S12p.T)        # SDD^{-1} S12'
+            Td = self._rb_solve(Rb, S12p.T)              # SDD^{-1} S12'
             S11x = S11.astype(fd) + S12p @ Td
             chol1 = jnp.linalg.cholesky(S11x)
             root_ok = okd & jnp.all(jnp.isfinite(chol1))
@@ -556,7 +569,7 @@ class ArrowBackend:
                                 delta_p=jnp.asarray(delta_p, Einv.dtype),
                                 delta_d=jnp.asarray(delta_d, Einv.dtype),
                                 Sinv=z, ok=leaf_ok & root_ok, Wd=z,
-                                RbG=RbG, RbC=RbC)
+                                RbG=Rb, RbC=z)
 
         if self.dist_root:
             from pips_ipmpp_tpu.linalg.dist_root import (dist_chol_inverse,
@@ -658,18 +671,31 @@ class ArrowBackend:
                             ok=leaf_ok & root_ok,
                             Wd=jnp.zeros((), fd))
 
-    def _rb_solve(self, RbG, RbC, rhs):
-        """Banded-root SDD^{-1} rhs for rhs [nD, c] (permuted order)."""
+    def _rb_band_solve(self, Ginv, Cb, rhs):
+        """Band-part solve for rhs [nband, c] (permuted order)."""
         from pips_ipmpp_tpu.linalg.band_backend import block_tridiag_solve
         plan = self.band_root_plan
         b, nb = plan.panel, plan.n_panels
-        nD, c = rhs.shape
-        pad = nb * b - nD
+        nband, c = rhs.shape
+        pad = nb * b - nband
         r = rhs if not pad else jnp.concatenate(
             [rhs, jnp.zeros((pad, c), rhs.dtype)], axis=0)
         r = r.reshape(nb, 1, b, c)
-        x = block_tridiag_solve(RbG, RbC, r.astype(RbG.dtype))
-        return x.reshape(nb * b, c)[:nD]
+        x = block_tridiag_solve(Ginv, Cb, r.astype(Ginv.dtype))
+        return x.reshape(nb * b, c)[:nband]
+
+    def _rb_solve(self, Rb, rhs):
+        """Banded-root SDD^{-1} rhs for rhs [nD, c] (permuted order);
+        handles the trailing peeled dense block via its Schur factors."""
+        if len(Rb) == 2:
+            return self._rb_band_solve(*Rb, rhs)
+        Ginv, Cb, Ud, Wdns, Sdinv = Rb
+        nband = Ud.shape[0]
+        r1, r2 = rhs[:nband], rhs[nband:]
+        u1 = self._rb_band_solve(Ginv, Cb, r1)
+        x2 = Sdinv @ (r2 - Ud.T @ u1)
+        x1 = u1 - Wdns @ x2
+        return jnp.concatenate([x1, x2], axis=0)
 
     def _leaf_apply_inv(self, L, Ninv, Einv, M, rx, rm):
         """K_b^{-1} applied to (rx [N,n,c], rm [N,a,c]) multi-RHS."""
@@ -760,10 +786,10 @@ class ArrowBackend:
             # dense solve — the 2-link root counterpart of Dsolve)
             S12p = fac.T.astype(fd)                      # [n0, nD] permuted
             qp = q[self._rb_perm].astype(fd)[:, None]
-            t = self._rb_solve(fac.RbG, fac.RbC, qp)
+            t = self._rb_solve(fac.RbG, qp)
             a = _spd_solve(fac.chol1, p.astype(fd) + (S12p @ t)[:, 0])
             rd = qp - (S12p.T @ a)[:, None]
-            dperm = -self._rb_solve(fac.RbG, fac.RbC, rd)[:, 0]
+            dperm = -self._rb_solve(fac.RbG, rd)[:, 0]
             d = dperm[self._rb_iperm].astype(dt)
             return a.astype(dt), d
         if self.dist_root:

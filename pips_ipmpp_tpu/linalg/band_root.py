@@ -38,19 +38,27 @@ class BandRootPlan:
     """Host-side symbolic analysis of the dual-SC sparsity (static)."""
     perm: np.ndarray        # [nD] dual-space permutation (gather order)
     iperm: np.ndarray       # [nD] inverse permutation
-    half_bandwidth: int     # of the permuted SDD pattern
+    half_bandwidth: int     # of the permuted SDD pattern (band part)
     panel: int              # block-tridiagonal panel size
     n_panels: int
+    n_dense: int = 0        # trailing peeled wide/global rows
 
 
 def plan_banded_root(lp: ArrowheadLP, panel: int | None = None,
-                     min_panel: int = 8) -> BandRootPlan:
+                     min_panel: int = 8,
+                     max_dense_frac: float = 0.15) -> BandRootPlan:
     """Order linking rows by their block-support window.
 
     `lp` must be concrete (host numpy).  Rows are placed [y0 | z0 |
-    linking rows by window center | unsupported linking rows]; the
-    half-bandwidth is the max position span of rows sharing a block
-    (rows sharing a block form a clique in the SC pattern)."""
+    linking rows by window center | unsupported rows | PEELED wide
+    rows]; the half-bandwidth is the max position span of band rows
+    sharing a block (rows sharing a block form a clique in the SC
+    pattern).  Rows whose block window is much wider than typical
+    (global constraints) would inflate the bandwidth toward nL; they
+    are peeled into a trailing dense block (capped at `max_dense_frac`
+    of the linking rows) handled by a small Schur complement at
+    factorization time — same treatment as the banded leaf's dense
+    rows."""
     F = np.asarray(lp.F)    # [N, mEl, n]
     G = np.asarray(lp.G)    # [N, mIl, n]
     N, mEl, _ = F.shape
@@ -71,25 +79,45 @@ def plan_banded_root(lp: ArrowheadLP, panel: int | None = None,
         rows = np.nonzero(supp[i])[0]
         lo_blk[rows] = np.minimum(lo_blk[rows], i)
         hi_blk[rows] = np.maximum(hi_blk[rows], i)
-    center = np.where(touched, (lo_blk + hi_blk) / 2.0, np.inf)
-    order = np.argsort(center, kind="stable")  # untouched rows sink last
+    width = np.where(touched, hi_blk - lo_blk + 1.0, 0.0)
+
+    # peel wide/global rows into the trailing dense block
+    max_dense = int(max_dense_frac * nL)
+    med_w = max(float(np.median(width[touched])), 1.0) if touched.any() \
+        else 1.0
+    wide = touched & (width > max(4 * med_w, 4.0)) if max_dense else \
+        np.zeros(nL, bool)
+    if wide.sum() > max_dense:
+        keep_wide = np.argsort(width)[::-1][:max_dense]
+        wide = np.zeros(nL, bool)
+        wide[keep_wide] = True
+
+    # order: band rows by window center, then untouched (diagonal) rows,
+    # then the peeled wide rows as the trailing dense block
+    center = (lo_blk + hi_blk) / 2.0
+    group = np.where(wide, 2, np.where(touched, 0, 1))
+    key = group * (2.0 * N) + np.where(group == 0, center, 0.0)
+    order = np.argsort(key, kind="stable")
+    k = int(wide.sum())
 
     pos = np.empty(nL, np.int64)
     pos[order] = np.arange(nL)
     h = 1
     for i in range(N):
-        rows = np.nonzero(supp[i])[0]
+        rows = np.nonzero(supp[i] & ~wide)[0]
         if rows.size > 1:
             p = pos[rows]
             h = max(h, int(p.max() - p.min()))
+    nD = nP + nL
+    n_band = nD - k
     if panel is None:
         panel = max(min_panel, -(-h // min_panel) * min_panel)
+        panel = min(panel, max(n_band, min_panel))
     elif panel < h:
         raise ValueError(f"panel {panel} < half-bandwidth {h}")
 
     perm = np.concatenate([np.arange(nP), nP + order]).astype(np.int32)
     iperm = np.argsort(perm).astype(np.int32)
-    nD = nP + nL
-    n_panels = -(-nD // panel)
+    n_panels = max(-(-n_band // panel), 1)
     return BandRootPlan(perm=perm, iperm=iperm, half_bandwidth=h,
-                       panel=panel, n_panels=n_panels)
+                        panel=panel, n_panels=n_panels, n_dense=k)

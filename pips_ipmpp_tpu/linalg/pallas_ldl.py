@@ -137,20 +137,22 @@ def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
                 l_ref[:, r1:, r0:r1], x_ref[:, r0:r1, :r1])
 
 
-def _pick_group(batch: int, a: int) -> int:
+def _pick_group(batch: int, a: int, panel: int) -> int:
     """Largest divisor of `batch` whose total VMEM footprint fits.
 
     Resident buffers per grid step: input window + output window (each
-    DOUBLE-buffered when grid > 1), the [G,a,a] scratch, and small
-    panel/d buffers — ~9x the [G,a,a] window size pipelined, ~5x at
-    grid == 1 (no pipelining).  Budget 100MB of the 128MB VMEM."""
+    DOUBLE-buffered when grid > 1), the [G,a,a] L scratch, the
+    [G,panel,a] xkk scratch, and small d buffers — ~9x the [G,a,a]
+    window size pipelined (~5x at grid == 1) plus the panel scratch.
+    Budget 100MB of the 128MB VMEM."""
     budget = 100 * 1024 * 1024
     blk = a * a * 4
+    pblk = panel * a * 4
     best = 1
     for g in range(batch, 0, -1):
         if batch % g:
             continue
-        est = (5 if g == batch else 9) * g * blk
+        est = (5 if g == batch else 9) * g * blk + g * pblk
         if est <= budget:
             return g
         best = g
@@ -160,9 +162,9 @@ def _pick_group(batch: int, a: int) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret", "panel"))
 def _ldl_call(A, interpret=False, panel=None):
     B, a, _ = A.shape
-    g = _pick_group(B, a)
-    grid = B // g
     panel = min(panel or PANEL, a)
+    g = _pick_group(B, a, panel)
+    grid = B // g
     kern = functools.partial(_ldl_kernel, a=a, panel=panel)
     X, d = pl.pallas_call(
         kern,

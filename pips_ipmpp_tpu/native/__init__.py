@@ -81,11 +81,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                              p_f64, p_f64, p_f64, p_f64]
     for fn in ("mps_row_name", "mps_col_name", "mps_free_row_name"):
         getattr(lib, fn).restype = cp
-        getattr(lib, fn).argtypes = [vp, i64] if fn != "mps_problem_name" \
-            else [vp]
-    lib.mps_row_name.argtypes = [vp, i64]
-    lib.mps_col_name.argtypes = [vp, i64]
-    lib.mps_free_row_name.argtypes = [vp, i64]
+        getattr(lib, fn).argtypes = [vp, i64]
     lib.mps_problem_name.restype = cp
     lib.mps_problem_name.argtypes = [vp]
     lib.mps_close.argtypes = [vp]

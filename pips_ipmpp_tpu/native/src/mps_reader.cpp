@@ -162,10 +162,13 @@ bool parse_file(const char* path, bool fixed, MpsData* d) {
           free_rows.emplace(nm, 'N');
           d->free_row_names.push_back(nm);
         }
-      } else if (typ == "E" || typ == "L" || typ == "G") {
+      } else {
+        // any non-N type letter is stored (parity with the Python
+        // parser, which records unknown types and treats them as
+        // ranged-E at assembly)
         row_idx.emplace(nm, static_cast<int64_t>(d->row_names.size()));
         d->row_names.push_back(nm);
-        d->row_types.push_back(typ[0]);
+        d->row_types.push_back(typ.empty() ? 'E' : typ[0]);
         d->rhs.push_back(0.0);
         d->has_rng.push_back(0);
         d->rng.push_back(0.0);
@@ -200,7 +203,13 @@ bool parse_file(const char* path, bool fixed, MpsData* d) {
       for (size_t k = start; k + 1 < parts.size(); k += 2) {
         bool ok = false;
         double v = parse_num(parts[k + 1], &ok);
-        if (!ok) continue;
+        if (!ok) {
+          // malformed values must ERROR, not silently zero the entry
+          // (the Python parser raises ValueError here)
+          d->error = "bad number in " + section + ": " + parts[k + 1];
+          std::fclose(fh);
+          return false;
+        }
         auto it = row_idx.find(parts[k]);
         if (it != row_idx.end()) {
           if (section == "RHS") {
@@ -232,7 +241,12 @@ bool parse_file(const char* path, bool fixed, MpsData* d) {
           cn = parts[1];
           val = parse_num(parts[2], &ok);
         }
-        if (!ok) continue;
+        if (!ok) {
+          d->error = "bad number in BOUNDS: "
+                     + (parts.size() >= 3 ? parts.back() : line);
+          std::fclose(fh);
+          return false;
+        }
       } else {
         if (parts.size() >= 3) cn = parts[2];
         else if (parts.size() >= 2) cn = parts[1];

@@ -106,11 +106,10 @@ class Postsolver:
         for ev in reversed(events):
             self._replay_dual(ev, sol)
 
-        # final: bound duals from reduced costs, then move any dual mass
-        # resting on presolve-tightened (non-original) bounds onto the
-        # original rows that implied them (exact transfer — see
-        # _transfer_interior_bound_duals)
-        self._recompute_bound_duals(sol)
+        # final: bound duals from reduced costs (recomputed inside), then
+        # move any dual mass resting on presolve-tightened (non-original)
+        # bounds onto the original rows that implied them (exact transfer
+        # — see _transfer_interior_bound_duals)
         self._transfer_interior_bound_duals(sol)
         return sol
 
@@ -296,13 +295,16 @@ class Postsolver:
                 x, g, p = sol.x0, sol.gamma0, sol.phi0
                 ixl, xl = lp.ixlow0, lp.xlow0
                 ixu, xu = lp.ixupp0, lp.xupp0
+                red = lp.c0 - self._ATy_full(sol, FIRST)
             else:
                 x, g, p = sol.xN[blk], sol.gammaN[blk], sol.phiN[blk]
                 ixl, xl = lp.ixlowN[blk], lp.xlowN[blk]
                 ixu, xu = lp.ixuppN[blk], lp.xuppN[blk]
+                red = lp.cN[blk] - self._ATy_full(sol, blk)
             at_lo = (ixl > 0) & (x <= xl + tol)
             at_up = (ixu > 0) & (x >= xu - tol)
-            red = np.where(ixl > 0, g, 0.0) - np.where(ixu > 0, p, 0.0)
+            # originally-free variables have gamma = phi = 0 forced, so
+            # their leaked reduced cost must be tested directly
             free_leak = (ixl == 0) & (ixu == 0)
             bad = np.nonzero(((g > tol) & ~at_lo) | ((p > tol) & ~at_up)
                              | (free_leak & (np.abs(red) > tol)))[0]

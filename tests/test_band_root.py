@@ -58,7 +58,9 @@ def test_plan_bandwidth_verifies_against_true_sc_pattern():
     S11 = chol1 @ chol1.T
     S22 = -(Sd - T.T @ (S11 @ T))
     S22p = S22[np.ix_(P, P)]
-    outside = np.abs(r - c) > plan.half_bandwidth
+    nband = nD - plan.n_dense
+    outside = (np.abs(r - c) > plan.half_bandwidth) \
+        & (r < nband) & (c < nband)
     assert np.max(np.abs(S22p[outside])) < 1e-10
 
 
@@ -98,3 +100,27 @@ def test_band_root_distributed_matches_single_device():
     assert res.iterations == ref.iterations
     np.testing.assert_allclose(float(res.objective), float(ref.objective),
                                rtol=1e-8)
+
+
+def test_band_root_peels_global_rows():
+    """Global (all-block) linking rows must be peeled into the trailing
+    dense block instead of inflating the bandwidth to ~nL."""
+    lp_local = klink_arrowhead_lp(4, N=16, links_per_block=2, klink=2)
+    lp_glob = klink_arrowhead_lp(4, N=16, links_per_block=2, klink=2,
+                                 n_global=3)
+    p_local = plan_banded_root(lp_local)
+    p_glob = plan_banded_root(lp_glob)
+    assert p_glob.n_dense >= 3
+    assert p_glob.half_bandwidth <= p_local.half_bandwidth + 4
+    # without peeling the global rows couple everything
+    p_noped = plan_banded_root(lp_glob, max_dense_frac=0.0)
+    assert p_noped.half_bandwidth > p_glob.half_bandwidth
+
+    r_dense = IPMSolver(partial(ArrowBackend,
+                                factor_dtype=jnp.float64)).solve(lp_glob)
+    r_band = IPMSolver(partial(ArrowBackend, band_root_plan=p_glob,
+                               factor_dtype=jnp.float64)).solve(lp_glob)
+    assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.iterations == r_dense.iterations
+    np.testing.assert_allclose(float(r_band.objective),
+                               float(r_dense.objective), rtol=1e-8)
