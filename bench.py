@@ -28,14 +28,37 @@ compares against the first recorded value of this bench
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 from functools import partial
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _backend_alive(timeout_s: int = 150) -> bool:
+    """Probe jax backend init in a SUBPROCESS: when the axon relay is
+    down, `import jax` hangs in a C dial that no in-process timeout can
+    interrupt — the probe isolates that."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if not _backend_alive():
+    print(json.dumps({
+        "metric": "ipm_iterations_per_s_64blk_256v", "value": 0.0,
+        "unit": "iter/s", "vs_baseline": 0.0,
+        "error": "jax backend init failed/hung (axon tunnel down?) — "
+                 "no measurement taken"}))
+    sys.exit(0)
+
 import jax
 import jax.numpy as jnp
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # flagship: 64 scenario blocks, 256 vars / 128+128 rows each,
 # 64 first-stage vars, 32+32 linking rows
