@@ -335,13 +335,6 @@ def step_bounds_pd(be, it: Iterate, d: Iterate):
     return a_p, a_d
 
 
-def _masked_max(tree, axis):
-    """Global max over leaves (pairs with -inf padding)."""
-    leaves = jax.tree.leaves(tree, is_leaf=lambda x: False)
-    neg = jax.tree.map(lambda v: -v, tree)
-    return -spaces.min_reduce(neg, axis)
-
-
 def find_blocking(be, it: Iterate, d: Iterate, primal: bool):
     """EXACT blocking-pair extraction (reference find_blocking_pd — the
     distributed minloc pair reduction, DistributedVector.C:702-726,
@@ -404,15 +397,6 @@ def find_blocking(be, it: Iterate, d: Iterate, primal: bool):
     a_max = jnp.minimum(1.0, ratio)
     blocking = jnp.isfinite(ratio) & (ratio < 1.0)
     return a_max, best[1], best[2], best[3], best[4], blocking
-
-
-def blocking_pair_info(be, it: Iterate, d: Iterate, a_max, primal: bool):
-    """Back-compat wrapper: (val_b, partner_at_a_max) of the exact blocking
-    pair (see find_blocking)."""
-    _, val_b, _, par, dpar, blocking = find_blocking(be, it, d, primal)
-    val_b = jnp.where(blocking, val_b, -jnp.inf)
-    par_after = jnp.where(blocking, par + a_max * dpar, -jnp.inf)
-    return val_b, par_after
 
 
 def step_bound_single(be, it: Iterate, d: Iterate):

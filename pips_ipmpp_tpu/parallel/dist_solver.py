@@ -154,6 +154,7 @@ class DistributedIPMSolver:
         solver = IPMSolver.__new__(IPMSolver)
         solver.be_ctor = ctor
         solver.opts = opts
+        solver.troubles_hook = None   # __init__ skipped; solve() reads it
         solver._step = step
         solver._eval = evalf
         solver._init = init

@@ -200,9 +200,26 @@ def singleton_rows(pd: PresolveData) -> int:
             for ix, fj in _scope_singletons(scope):
                 blk, r = _scope_blk(scope, ix)
                 i_blk = ix[0] if scope.kind == "block" else 0
+                # re-validate against LIVE data: an earlier fix in this
+                # sweep may have changed this row since the scope
+                # snapshot (shared variable between two singleton rows)
+                rowv, brhs, row_active = _live_eq_row(pd, scope.kind, ix)
+                if not row_active:
+                    continue
+                nz = np.nonzero(rowv)[0]
+                if nz.size == 0:
+                    # emptied by an earlier fix: contradictory rhs is
+                    # infeasibility, a ~0 rhs is cleanup's job
+                    if abs(brhs) > FEASTOL:
+                        pd.infeasible = True
+                        return n
+                    continue
+                if nz.size != 1:
+                    continue
+                fj = int(nz[0])
                 vb, j = scope.col_id(i_blk, fj, n0v, nv)
-                a = float(scope.K[tuple(ix)][fj])
-                val = float(np.asarray(b)[tuple(ix)]) / a
+                a = float(rowv[fj])
+                val = brhs / a
                 lo, up = _var_bounds(pd, vb, j)
                 if val < lo - FEASTOL or val > up + FEASTOL:
                     pd.infeasible = True
@@ -217,10 +234,17 @@ def singleton_rows(pd: PresolveData) -> int:
             for ix, fj in _scope_singletons(scope):
                 blk, r = _scope_blk(scope, ix)
                 i_blk = ix[0] if scope.kind == "block" else 0
+                # re-validate against LIVE data (see eq loop above)
+                rowv, lo_r, up_r, row_active = _live_ineq_row(
+                    pd, scope.kind, ix)
+                if not row_active:
+                    continue
+                nz = np.nonzero(rowv)[0]
+                if nz.size != 1:
+                    continue
+                fj = int(nz[0])
                 vb, j = scope.col_id(i_blk, fj, n0v, nv)
-                a = float(scope.K[tuple(ix)][fj])
-                lo_r = float(np.asarray(lo_arr)[tuple(ix)])
-                up_r = float(np.asarray(up_arr)[tuple(ix)])
+                a = float(rowv[fj])
                 if a > 0:
                     nl = lo_r / a if np.isfinite(lo_r) else None
                     nu = up_r / a if np.isfinite(up_r) else None
@@ -304,20 +328,12 @@ def _detect_parallel(M, tol):
     return zip(kept, dup, fct)
 
 
-def _eq_rhs_at(pd, blk, r):
-    if blk == FIRST:
-        return float(pd.b0[r])
-    if blk == LINK:
-        return float(pd.bl[r])
-    return float(pd.bN[blk, r])
-
-
 def _parallel_eq_apply(pd, M, addr, tol) -> int:
     n = 0
     for ki, di, k in _detect_parallel(M, tol):
         kept, cand = addr[int(ki)], addr[int(di)]
-        b_k = _eq_rhs_at(pd, *kept)
-        b_c = _eq_rhs_at(pd, *cand)
+        b_k = _eq_rhs(pd, *kept)
+        b_c = _eq_rhs(pd, *cand)
         if abs(b_c - k * b_k) > FEASTOL * max(1, abs(b_c)):
             pd.infeasible = True
             return n
@@ -726,7 +742,11 @@ def _implied_free(pd: PresolveData, vb, j, eq_entry) -> bool:
     else:
         imp_lo, imp_up = (b - lo_o) / a, (b - up_o) / a
     cur_lo, cur_up = _var_bounds(pd, vb, j)
-    tol = FEASTOL * max(1.0, abs(imp_lo), abs(imp_up))
+    # tolerance from FINITE implied values only: an infinite implied
+    # bound must FAIL the containment test (tol=inf made everything
+    # "implied free" and dropped binding bounds)
+    finite = [abs(v) for v in (imp_lo, imp_up) if np.isfinite(v)]
+    tol = FEASTOL * max([1.0] + finite)
     return imp_lo >= cur_lo - tol and imp_up <= cur_up + tol
 
 

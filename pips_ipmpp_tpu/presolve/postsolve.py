@@ -226,7 +226,8 @@ class Postsolver:
         sol.phiN = np.stack(pN) if pN else np.zeros_like(lp.cN)
 
     def _transfer_interior_bound_duals(self, sol: Solution, rounds: int = 4,
-                                       tol: float = 1e-7):
+                                       tol: float = 1e-7,
+                                       bound_tol: float = 1e-5):
         """Exact dual transfer for presolve-tightened bounds.
 
         A strengthened bound x_j >= t (or <= t) is implied by an original
@@ -284,7 +285,7 @@ class Postsolver:
                     break
         self._recompute_bound_duals(sol)
 
-    def _violating_vars(self, sol: Solution, tol):
+    def _violating_vars(self, sol: Solution, tol, bound_tol=1e-5):
         """Variables whose recomputed bound dual rests on a bound the
         ORIGINAL problem does not have tight (or does not have at all)."""
         lp = self.lp
@@ -301,8 +302,12 @@ class Postsolver:
                 ixl, xl = lp.ixlowN[blk], lp.xlowN[blk]
                 ixu, xu = lp.ixuppN[blk], lp.xuppN[blk]
                 red = lp.cN[blk] - self._ATy_full(sol, blk)
-            at_lo = (ixl > 0) & (x <= xl + tol)
-            at_up = (ixu > 0) & (x >= xu - tol)
+            # at-bound detection uses a LOOSER tolerance than the dual
+            # thresholds: the IPM parks actives at their bounds only to
+            # ~mu accuracy, and misreading "at bound" as "interior"
+            # wrongly transfers dual mass onto rows
+            at_lo = (ixl > 0) & (x <= xl + bound_tol)
+            at_up = (ixu > 0) & (x >= xu - bound_tol)
             # originally-free variables have gamma = phi = 0 forced, so
             # their leaked reduced cost must be tested directly
             free_leak = (ixl == 0) & (ixu == 0)
@@ -311,7 +316,8 @@ class Postsolver:
             out.extend((blk, int(j)) for j in bad)
         return out
 
-    def _dual_violation_score(self, sol: Solution, tol: float) -> float:
+    def _dual_violation_score(self, sol: Solution, tol: float,
+                              bound_tol: float = 1e-5) -> float:
         """Total dual inexactness: reduced cost that cannot be absorbed
         complementarily by an original-tight bound, plus ineq multipliers
         whose signed side is slack in the original problem."""
@@ -328,8 +334,8 @@ class Postsolver:
                 ixl, xl = lp.ixlowN[blk], lp.xlowN[blk]
                 ixu, xu = lp.ixuppN[blk], lp.xuppN[blk]
                 red = lp.cN[blk] - self._ATy_full(sol, blk)
-            at_lo = (ixl > 0) & (x <= xl + tol)
-            at_up = (ixu > 0) & (x >= xu - tol)
+            at_lo = (ixl > 0) & (x <= xl + bound_tol)
+            at_up = (ixu > 0) & (x >= xu - bound_tol)
             # red > 0 needs a tight lower bound, red < 0 a tight upper
             total += float(np.sum(np.where(
                 red > 0, np.where(at_lo, 0.0, red),

@@ -383,3 +383,65 @@ def test_bounded_singleton_column_implied_free():
     resid = postsolve_residuals(lp, sol)
     for name, v in resid.items():
         assert v < 1e-6, f"{name}={v}"
+
+
+def _anchor_block_n0(n0):
+    return [dict(
+        c=np.array([0.0]), A=np.zeros((1, n0)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, n0)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+
+
+def test_bounded_singleton_column_with_unbounded_mate_keeps_bound():
+    """min x s.t. x+y=5, x in [0,1], y >= 0: the implied range of x is
+    (-inf, 5], NOT inside [0,1] — x must not be treated implied-free
+    (the infinite implied bound used to blow the tolerance to inf and
+    drop the binding bound)."""
+    first = dict(
+        c=np.array([1.0, 0.0]),
+        A=np.array([[1.0, 1.0]]), b=np.array([5.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.ones(2), xlow=np.array([0.0, 0.0]),
+        ixupp=np.array([1.0, 0.0]), xupp=np.array([1.0, 0.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+    lp = make_arrowhead_lp(_anchor_block_n0(2), first)
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - 0.0) < 1e-6
+    sol = iface._postsolve()
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
+
+
+def test_singleton_rows_sharing_variable():
+    """Two singleton eq rows on the SAME variable: consistent pair must
+    solve; contradictory pair must be detected infeasible (the stale-scope
+    sweep used to crash or miss the contradiction)."""
+    def lp_with(b2):
+        first = dict(
+            c=np.array([1.0, 1.0]),
+            A=np.array([[2.0, 0.0], [3.0, 0.0], [0.0, 1.0]]),
+            b=np.array([4.0, b2, 1.0]),
+            C=np.zeros((0, 2)),
+            iclow=np.zeros(0), clow=np.zeros(0),
+            icupp=np.zeros(0), cupp=np.zeros(0),
+            ixlow=np.ones(2), xlow=np.array([-10.0, -10.0]),
+            ixupp=np.ones(2), xupp=np.array([10.0, 10.0]),
+            F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+        return make_arrowhead_lp(_anchor_block_n0(2), first)
+
+    ok = PIPSIPMppTPUInterface(lp_with(6.0),
+                               Options(presolve=PresolverType.PRESOLVE))
+    assert ok.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(ok.getObjective() - 3.0) < 1e-6    # x=2, y=1
+
+    bad = PIPSIPMppTPUInterface(lp_with(9.0),
+                                Options(presolve=PresolverType.PRESOLVE))
+    assert bad.run() == TerminationStatus.INFEASIBLE
