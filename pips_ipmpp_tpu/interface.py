@@ -141,12 +141,24 @@ class PIPSIPMppTPUInterface:
                         factor_dtype=fd), self.options)
         self.result = self._solver.solve(lp)
         self._postsolved = None
+        self._gather_cache = {}
         return self.result.status
 
     # ------------------------------------------------------------------
     def _require_result(self):
         if self.result is None:
             raise RuntimeError("call run() first")
+
+    def _cached(self, key, fn):
+        """Per-run memo for derived quantities (x, Cx, reduced cost):
+        the 8 bound-dual/slack gathers share them instead of re-deriving
+        the full original-space pipeline each call."""
+        cache = getattr(self, "_gather_cache", None)
+        if cache is None:
+            cache = self._gather_cache = {}
+        if key not in cache:
+            cache[key] = fn()
+        return cache[key]
 
     def _postsolve(self):
         """Reconstruct the original-space solution if presolve ran
@@ -206,6 +218,9 @@ class PIPSIPMppTPUInterface:
 
     def gatherPrimalSolution(self) -> np.ndarray:
         self._require_result()
+        return self._cached("x", self._gather_primal)
+
+    def _gather_primal(self) -> np.ndarray:
         ps = self._postsolve()
         if ps is not None:
             return np.concatenate([ps.x0, ps.xN.reshape(-1)])
@@ -257,6 +272,9 @@ class PIPSIPMppTPUInterface:
         """Values C x of the inequality rows in the ORIGINAL space
         (reference :360-384, gathered ineq residuals + slacks)."""
         self._require_result()
+        return self._cached("Cx", self._gather_ineq_values)
+
+    def _gather_ineq_values(self) -> np.ndarray:
         x = self.gatherPrimalSolution()
         if isinstance(self.lp, DenseLP):
             return np.asarray(self.lp.C, np.float64) @ x
@@ -434,6 +452,9 @@ class PIPSIPMppTPUInterface:
     # recovery; exact at complementarity).
     def _reduced_cost(self) -> np.ndarray:
         """c - A'y - C'z in the original space (= gamma - phi at KKT)."""
+        return self._cached("red", self._reduced_cost_impl)
+
+    def _reduced_cost_impl(self) -> np.ndarray:
         x = self.gatherPrimalSolution()
         y = self.gatherDualSolutionEq()
         z = self.gatherDualSolutionIneq()
