@@ -33,6 +33,10 @@ class StepMode(Enum):
     PRIMAL_DUAL = 1  # separate primal/dual step lengths ("stepLp" in gmspips)
 
 
+_ENUM_FIELDS = {"scaler": ScalerType, "presolve": PresolverType,
+                "step_mode": StepMode}
+
+
 @dataclass(frozen=True)
 class Options:
     # ---- IPM termination (reference PIPSIPMppSolver.hpp:56-57, .cpp:13-26) ----
@@ -148,7 +152,31 @@ class Options:
         """Parse reference-style `.opt` file: lines `NAME VALUE TYPE` where
         TYPE in {bool,int,double} (AbstractOptions.C:73; README.md:100-106).
         Unknown names are ignored (reference warns); names are matched
-        case-insensitively against field names."""
+        case-insensitively against field names, and the REFERENCE's own
+        option names (PIPSIPMppOptions.C) are accepted via the alias
+        table below so a PIPS-IPM++ user's .opt file keeps working."""
+        # reference option name -> (our field, value transform)
+        ref_aliases = {
+            "gondzio_max_correctors": ("max_gondzio_correctors", None),
+            "gondzio_stoch_n_linesearch": ("n_linesearch_points", None),
+            "hierarchical": ("hierarchical", lambda v: bool(v)),
+            "hierarchical_approach_n_layers": ("hierarchical_layers", None),
+            "outer_solve": ("outer_bicgstab", lambda v: int(v) == 2),
+            "outer_bicg_max_iter": ("outer_max_iters", None),
+            "presolve": ("presolve",
+                         lambda v: PresolverType.PRESOLVE if int(v)
+                         else PresolverType.NONE),
+            "presolve_max_rounds": ("presolve_max_rounds", None),
+            "scaler": ("scaler", lambda v: ScalerType(int(v))),
+            "sc_compute_blockwise": (
+                "sc_blockwise", lambda v: 64 if bool(v) else 0),
+            "precondition_sparse": (
+                "iterative_root_panel", lambda v: 64 if bool(v) else 0),
+            "regularization_strategy": (
+                "regularization_strategy",
+                lambda v: {0: "ladder", 1: "friedlander_orban",
+                           2: "ipopt"}.get(int(v), "ladder")),
+        }
         opts = base or Options()
         fields = {f.name.lower(): f.name for f in dataclasses.fields(Options)}
         overrides = {}
@@ -158,15 +186,25 @@ class Options:
                 if len(parts) != 3:
                     continue
                 name, value, typ = parts
-                key = fields.get(name.lower())
-                if key is None:
-                    continue
                 if typ == "bool":
-                    overrides[key] = value.lower() in ("true", "1", "yes")
+                    val = value.lower() in ("true", "1", "yes")
                 elif typ == "int":
-                    overrides[key] = int(value)
+                    val = int(value)
                 elif typ == "double":
-                    overrides[key] = float(value)
+                    val = float(value)
+                else:
+                    continue
+                key = fields.get(name.lower())
+                if key is not None:
+                    # enum-typed fields take the reference's int encoding
+                    # (orderings match PreprocessType.h et al.)
+                    enum_cls = _ENUM_FIELDS.get(key)
+                    overrides[key] = enum_cls(int(val)) if enum_cls else val
+                    continue
+                alias = ref_aliases.get(name.lower())
+                if alias is not None:
+                    key, transform = alias
+                    overrides[key] = transform(val) if transform else val
         return opts.replace(**overrides)
 
     def tolerances(self) -> tuple[float, float]:

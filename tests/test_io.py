@@ -256,3 +256,29 @@ def test_mps_ranges_on_objective_row_warns(tmp_path):
     iface = PIPSIPMppTPUInterface(lp, Options())
     assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(iface.getObjective() - (-8.0)) < 1e-6
+
+
+def test_opt_file_reference_names(tmp_path):
+    """A PIPS-IPM++ user's .opt file (reference option names,
+    PIPSIPMppOptions.C) must configure the equivalent options here."""
+    from pips_ipmpp_tpu.core.options import (Options, PresolverType,
+                                             ScalerType)
+    p = tmp_path / "ref.opt"
+    p.write_text("\n".join([
+        "GONDZIO_MAX_CORRECTORS 5 int",
+        "OUTER_SOLVE 2 int",
+        "PRESOLVE 1 int",
+        "PRESOLVE_MAX_ROUNDS 3 int",
+        "SCALER 3 int",
+        "HIERARCHICAL_APPROACH_N_LAYERS 2 int",
+        "SC_COMPUTE_BLOCKWISE true bool",
+        "UNKNOWN_REFERENCE_OPTION 7 int",
+    ]) + "\n")
+    o = Options.from_opt_file(str(p))
+    assert o.max_gondzio_correctors == 5
+    assert o.outer_bicgstab is True
+    assert o.presolve == PresolverType.PRESOLVE
+    assert o.presolve_max_rounds == 3
+    assert o.scaler == ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM
+    assert o.hierarchical_layers == 2
+    assert o.sc_blockwise > 0
