@@ -12,7 +12,6 @@ written into preallocated arrays and fetched once at the end.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
@@ -83,12 +82,17 @@ def solve_on_device(be_ctor, opts: Options, lp):
     def body(carry):
         it, k, rstate, attempt, status, best_mu, stall, hist = carry
         mu_v, res_v, obj_v = eval_all(it)
+        # a retry turn re-evaluates the UNCHANGED iterate after a failed
+        # factorization: it must not advance the stall detector
+        is_retry = attempt > 0
 
         converged = (mu_v <= mu_tol) & (res_v <= res_scale)
         diverged = ~jnp.isfinite(mu_v) | (mu_v > opts.divergence_mu)
         improving = mu_v < best_mu * 0.999
-        stall = jnp.where(improving, 0, stall + 1)
-        best_mu = jnp.minimum(best_mu, mu_v)
+        stall = jnp.where(is_retry, stall,
+                          jnp.where(improving, 0, stall + 1))
+        best_mu = jnp.where(is_retry, best_mu,
+                            jnp.minimum(best_mu, mu_v))
         stalled = stall >= 30
 
         new_status = jnp.where(
@@ -115,7 +119,8 @@ def solve_on_device(be_ctor, opts: Options, lp):
             rs2 = jax.tree.map(
                 lambda a, b: jnp.where(ok, a, b), rs, fs)
             attempt2 = jnp.where(ok, 0, attempt + 1)
-            too_big = ~ok & strat.give_up(rs2)
+            too_big = ~ok & (strat.give_up(rs2)
+                             | (attempt2 > opts.max_regularization_retries))
             return kept, rs2, attempt2, stats, too_big
 
         def no_step(args):
@@ -133,14 +138,22 @@ def solve_on_device(be_ctor, opts: Options, lp):
         new_status = jnp.where(reg_fail, FACTOR_FAIL,
                                new_status).astype(jnp.int32)
 
+        # `k` counts completed IPM STEPS (matching the host loop): retry
+        # turns and the terminal evaluation turn neither consume the
+        # iteration budget nor write a history row (mode="drop" discards
+        # the out-of-range write on non-step turns)
+        stepped = (new_status == RUNNING) & stats.factor_ok
+        row = jnp.where(stepped, k, max_it)
         hist = FusedHistory(
-            mu=hist.mu.at[k].set(mu_v),
-            residual=hist.residual.at[k].set(res_v),
-            objective=hist.objective.at[k].set(obj_v),
-            alpha_primal=hist.alpha_primal.at[k].set(stats.alpha_primal),
-            alpha_dual=hist.alpha_dual.at[k].set(stats.alpha_dual))
-        return (it2, k + 1, rstate2, attempt2, new_status, best_mu, stall,
-                hist)
+            mu=hist.mu.at[row].set(mu_v, mode="drop"),
+            residual=hist.residual.at[row].set(res_v, mode="drop"),
+            objective=hist.objective.at[row].set(obj_v, mode="drop"),
+            alpha_primal=hist.alpha_primal.at[row].set(
+                stats.alpha_primal, mode="drop"),
+            alpha_dual=hist.alpha_dual.at[row].set(
+                stats.alpha_dual, mode="drop"))
+        return (it2, k + stepped.astype(k.dtype), rstate2, attempt2,
+                new_status, best_mu, stall, hist)
 
     init = (it0, jnp.zeros((), jnp.int32), rstate0,
             jnp.zeros((), jnp.int32),

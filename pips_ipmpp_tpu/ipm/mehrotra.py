@@ -83,7 +83,8 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options,
 
     # ---- predictor (affine scaling) ----
     comp_aff = F.comp_rhs_affine(be, it)
-    d_aff = _solve_dir(be, it, res, comp_aff, Ominv, fac, opts)
+    d_aff = _solve_dir(be, it, res, comp_aff, Ominv, fac, opts,
+                       iteration=iteration)
     ap_aff, ad_aff = _alphas(be, it, d_aff, opts)
     mu_aff = F.mu_after_step(be, it, d_aff, ap_aff, ad_aff)
 
@@ -142,7 +143,8 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options,
             beta_hi = jnp.where(small_corr, jnp.inf, opts.beta_max)
             comp_g = F.comp_rhs_gondzio(be, it, d_c, ap_t, ad_t, sigma_mu,
                                         opts.beta_min, beta_hi)
-            corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, opts)
+            corr = _solve_dir(be, it, zero_res, comp_g, Ominv, fac, opts,
+                              iteration=iteration)
 
             # per-side weighted corrector addition (reference
             # calculate_alpha_pd_weight_candidate :459-526): scan weights,
@@ -230,7 +232,8 @@ def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options,
         def centered(_):
             comp_c = F.comp_rhs_corrector(
                 be, it, jax.tree.map(jnp.zeros_like, d_aff), mu)
-            d_c = _solve_dir(be, it, res, comp_c, Ominv, fac, opts)
+            d_c = _solve_dir(be, it, res, comp_c, Ominv, fac, opts,
+                             iteration=iteration)
             ap_c, ad_c = _alphas(be, it, d_c, opts)
             return d_c, 0.7 * ap_c, 0.7 * ad_c
 

@@ -17,7 +17,6 @@ RegularizationStrategy.h:15-38).
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Optional
@@ -26,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pips_ipmpp_tpu.core import spaces
 from pips_ipmpp_tpu.core.options import Options
 from pips_ipmpp_tpu.core.status import TerminationStatus
 from pips_ipmpp_tpu.ipm import formulation as F
@@ -149,6 +147,7 @@ class IPMSolver:
         self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))
         self._eval = jax.jit(partial(_eval_fn, be_ctor))
         self._init = jax.jit(partial(_init_fn, be_ctor, self.opts))
+        self._datanorm = jax.jit(lambda lp: be_ctor(lp).datanorm())
         if hasattr(self, "_fused"):
             del self._fused
 
@@ -160,17 +159,17 @@ class IPMSolver:
 
         from pips_ipmpp_tpu.ipm.regularization import make_regularization
         strat = make_regularization(opts)
-        rstate = strat.init_state(jnp.float64)
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        rstate = strat.init_state(rdt)
         k0 = 0
 
         import os
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from pips_ipmpp_tpu.ipm.checkpoint import load_checkpoint
             it, k0, dp_c, dd_c, _ = load_checkpoint(checkpoint_path)
-            rstate = (jnp.asarray(dp_c, jnp.float64),
-                      jnp.asarray(dd_c, jnp.float64), rstate[2])
-            _, datanorm = self._init(lp)   # datanorm only
-            datanorm = float(datanorm)
+            rstate = (jnp.asarray(dp_c, rdt),
+                      jnp.asarray(dd_c, rdt), rstate[2])
+            datanorm = float(self._datanorm(lp))
         else:
             it, datanorm = self._init(lp)
             datanorm = float(datanorm)
@@ -180,8 +179,8 @@ class IPMSolver:
         mu_v = res_v = float("nan")
         best_mu = float("inf")
         stall = 0
+        n_steps = k0   # completed IPM steps (the reported iteration count)
 
-        k = k0
         for k in range(k0, opts.max_iterations):
             # single host<->device roundtrip for all four scalars (per-scalar
             # float() costs one transfer each — expensive over remote links)
@@ -230,13 +229,14 @@ class IPMSolver:
                 if new_ctor is not None:
                     self._set_ctor(new_ctor)
                     new_it, stats = self._step(lp, it, dp, dd, k)
-                    ok = bool(jax.device_get(stats.factor_ok))
                     stats_h = jax.device_get(stats)
+                    ok = bool(stats_h.factor_ok)
             if not ok:
                 status = TerminationStatus.UNKNOWN
                 break
 
             it = new_it
+            n_steps += 1
             if (checkpoint_path and checkpoint_every > 0
                     and (k + 1) % checkpoint_every == 0):
                 from pips_ipmpp_tpu.ipm.checkpoint import save_checkpoint
@@ -252,8 +252,11 @@ class IPMSolver:
             if callback is not None:
                 callback(k, it, history[-1] if history else None)
 
-        _, _, _, obj_v = [float(v) for v in self._eval(lp, it)]
-        return SolveResult(status=status, iterate=it, iterations=k,
+        # final evaluation of the FINAL iterate: on the max-iterations
+        # path the loop-top mu/residual belong to the pre-step iterate
+        mu_v, res_v, _, obj_v = [
+            float(v) for v in jax.device_get(self._eval(lp, it))]
+        return SolveResult(status=status, iterate=it, iterations=n_steps,
                            objective=obj_v, mu=mu_v, residual_norm=res_v,
                            history=history)
 
@@ -276,12 +279,8 @@ class IPMSolver:
     def solve_fused(self, lp) -> SolveResult:
         """Fully on-device solve (lax.while_loop outer loop, one compile,
         zero host roundtrips until done) — see ipm.device_loop."""
-        from pips_ipmpp_tpu.ipm.device_loop import (decode_status,
-                                                    solve_on_device)
-        if not hasattr(self, "_fused"):
-            self._fused = jax.jit(
-                partial(solve_on_device, self.be_ctor, self.opts))
-        it, info = self._fused(lp)
+        from pips_ipmpp_tpu.ipm.device_loop import decode_status
+        it, info = self.solve_fused_async(lp)
         info_h = jax.device_get({k: v for k, v in info.items()
                                  if k != "history"})
         hist = jax.device_get(info["history"]) if self.opts.record_history \
