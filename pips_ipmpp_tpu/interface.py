@@ -284,14 +284,10 @@ class PIPSIPMppTPUInterface:
         """Map hierarchical-layout link vectors back to user row order."""
         if self._hier_meta is None:
             return vec
-        meta = self._hier_meta
-        perm = meta.permE if which == "E" else meta.permI
+        from pips_ipmpp_tpu.linalg.hier_backend import unpermute_link_one
         size = (self._orig_link_dims[0] if which == "E"
                 else self._orig_link_dims[1])
-        out = np.zeros(size, vec.dtype)
-        sel = perm >= 0
-        out[perm[sel]] = vec[np.nonzero(sel)[0]]
-        return out
+        return unpermute_link_one(self._hier_meta, vec, which, size)
 
     def _gather_row_dual(self, vec, which: str, factors) -> np.ndarray:
         """Unpermute (hier layout -> flat), then unscale, then flatten."""
@@ -360,11 +356,13 @@ class PIPSIPMppTPUInterface:
         blocks = np.asarray(vec.blocks, np.float64)
         link = self._unpermute_link(np.asarray(vec.link, np.float64), which)
         if self._scaler is not None:
+            # the scaler ran BEFORE the hierarchical transform, so its
+            # factors are already in original row order — only the
+            # iterate's link vector needed unpermuting
             rc = self._scaler.rC
             first = first / np.asarray(rc.first)
             blocks = blocks / np.asarray(rc.blocks)
-            link = link / self._unpermute_link(
-                np.asarray(rc.link, np.float64), which)
+            link = link / np.asarray(rc.link, np.float64)
         return np.concatenate([first, blocks.reshape(-1), link])
 
     def _gather_bound_dual(self, vec) -> np.ndarray:

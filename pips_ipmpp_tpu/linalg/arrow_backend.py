@@ -395,12 +395,16 @@ class ArrowBackend:
         return L, Ninv, leaf_ok
 
     def _apply_Ninv_multi(self, L, Ninv, t):
-        """Neq^{-1} t for multi-RHS t [N, a, c] via the stored leaf factor."""
+        """Neq^{-1} t for multi-RHS t [N, a, c] via the stored leaf factor.
+
+        Dispatch is shape-driven (which factor is populated), so any
+        subclass combination of leaf mode and root mode works: factored
+        (X, 1/d) tuple in L, explicit Ninv [N, a, a], or Cholesky L."""
         if self.factored_inverse:
             Xf, dinv = L
             u = jnp.einsum("iab,ibc->iac", Xf, t)
             return jnp.einsum("iba,ibc->iac", Xf, dinv[:, :, None] * u)
-        if self.explicit_inverse:
+        if getattr(Ninv, "ndim", 0) == 3:
             return jnp.einsum("iab,ibc->iac", Ninv, t)
         return _bchol_solve(L, t)
 

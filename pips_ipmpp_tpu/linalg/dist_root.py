@@ -45,11 +45,21 @@ def dist_chol_inverse(S_cols: jax.Array, axis: str, n_shards: int,
     and a local health flag.
     """
     nD, nDp = S_cols.shape
-    assert nD == nDp * n_shards
-    # panels must tile each device's contiguous column shard exactly
-    pw = min(panel, nDp)
-    while nDp % pw:
-        pw -= 1
+    if nD != nDp * n_shards:
+        raise ValueError(
+            f"dual Schur dimension nD={nD} must be divisible by "
+            f"n_shards={n_shards} (got shard width {nDp}); pad the "
+            f"linking dimensions so nD % n_shards == 0")
+    # panels must tile each device's contiguous column shard exactly:
+    # largest divisor of nDp not exceeding `panel`.  A degenerate divisor
+    # (e.g. prime nDp -> 1-column panels) would serialize the
+    # factorization into nD psum rounds — refuse with guidance instead
+    pw = next(w for w in range(min(panel, nDp), 0, -1) if nDp % w == 0)
+    if pw < 8 and nDp >= 8:
+        raise ValueError(
+            f"shard width nDp={nDp} has no panel divisor >= 8 (best "
+            f"{pw}); pad the linking dimensions to a multiple of "
+            f"{8 * n_shards} so the distributed root stays blocked")
     n_panels = nD // pw
     dev = jax.lax.axis_index(axis)
     dt = S_cols.dtype

@@ -136,16 +136,22 @@ def build_hierarchical_lp(lp: ArrowheadLP, n_groups: int
     return ArrowheadLP(**kw), meta
 
 
+def unpermute_link_one(meta: HierMeta, vec: np.ndarray, which: str,
+                       size: int) -> np.ndarray:
+    """Map ONE permuted-layout link vector back to original row order
+    (which in {"E", "I"}; pad rows, perm == -1, are dropped)."""
+    perm = meta.permE if which == "E" else meta.permI
+    out = np.zeros(size, vec.dtype)
+    sel = perm >= 0
+    out[perm[sel]] = vec[np.nonzero(sel)[0]]
+    return out
+
+
 def unpermute_link(meta: HierMeta, vecE: np.ndarray, vecI: np.ndarray,
                    mEl_orig: int, mIl_orig: int):
     """Map permuted-layout link vectors back to original row order."""
-    outE = np.zeros(mEl_orig, vecE.dtype)
-    sel = meta.permE >= 0
-    outE[meta.permE[sel]] = vecE[np.nonzero(sel)[0]]
-    outI = np.zeros(mIl_orig, vecI.dtype)
-    sel = meta.permI >= 0
-    outI[meta.permI[sel]] = vecI[np.nonzero(sel)[0]]
-    return outE, outI
+    return (unpermute_link_one(meta, vecE, "E", mEl_orig),
+            unpermute_link_one(meta, vecI, "I", mIl_orig))
 
 
 # ======================================================================
@@ -171,6 +177,8 @@ class HierFactors:
     OmlL: jax.Array      # [G, mIlL]
     delta_p: jax.Array
     delta_d: jax.Array
+    Ninv: jax.Array = ()   # explicit leaf inverse (kernel/explicit modes)
+    leaf_ok: jax.Array = True
 
 
 class HierArrowBackend(ArrowBackend):
@@ -181,10 +189,14 @@ class HierArrowBackend(ArrowBackend):
     def __init__(self, lp: ArrowheadLP, meta: HierMeta,
                  factor_dtype=jnp.float64, axis: Optional[str] = None,
                  n_shards: int = 1):
-        # HierFactors carries no explicit root inverses yet: force the
-        # triangular root-solve path regardless of factor dtype
+        # HierFactors carries no explicit root inverses: the root keeps
+        # the triangular solve path (explicit_inverse=False); the LEAF
+        # factorization goes through the shared _leaf_factor hook, so the
+        # f32 path uses the fused Pallas LDL kernel like the flat backend
         super().__init__(lp, factor_dtype=factor_dtype, axis=axis,
-                         explicit_inverse=False)
+                         explicit_inverse=False,
+                         ldl_kernel=bool(jnp.dtype(factor_dtype)
+                                         == jnp.float32))
         self.meta = meta
         # distributed mode (shard_map): whole groups live on one device —
         # the group-level Schur stage needs NO collectives (the reference's
@@ -263,9 +275,7 @@ class HierArrowBackend(ArrowBackend):
             jnp.broadcast_to(jnp.asarray(delta_d, dt), (lp.N, mE)),
             Om + delta_d], axis=1)
         MEi = M * Einv[:, None, :]
-        Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
-               + jax.vmap(jnp.diag)(Fd.astype(fd)))
-        L = jnp.linalg.cholesky(Neq)
+        L, Ninv, leaf_ok = self._leaf_factor(M, MEi, Fd)
 
         # split permuted link strips into per-group locals + globals:
         # reshape the block axis into (G_loc, Ng) and the local-link rows
@@ -289,7 +299,7 @@ class HierArrowBackend(ArrowBackend):
         flatRinX = RinX.reshape(gl * Ng, n, mL)
         EiR = flatRinX * Einv[:, :, None]
         rhsW = jnp.einsum("iam,imS->iaS", M.astype(fd), EiR.astype(fd))
-        Wm = _bchol_solve(L, rhsW)                               # [N, a, mL]
+        Wm = self._apply_Ninv_multi(L, Ninv, rhsW)               # [N, a, mL]
         Wx = EiR.astype(fd) - Einv.astype(fd)[:, :, None] * jnp.einsum(
             "iam,iaS->imS", M.astype(fd), Wm)
         Win = jnp.concatenate([Wx, Wm], axis=1)                  # [N, k, mL]
@@ -297,8 +307,14 @@ class HierArrowBackend(ArrowBackend):
         # local Schur: Sloc = -Floc_diag - R_in' K_b^{-1} R_in
         RtW = jnp.einsum("imS,imT->iST", flatRinX.astype(fd), Wx)  # [N,mL,mL]
         RtW = RtW.reshape(gl, Ng, mL, mL).sum(axis=1)          # [G_loc,mL,mL]
+        # padded eq rows (permE == -1) are decoupled; give them a UNIT
+        # diagonal so a zero delta_d (e.g. the Ipopt strategy's fresh
+        # steps) cannot produce a zero pivot that poisons the solve
+        padE = jnp.asarray(
+            (m.permE[:G * m.mElL] < 0).reshape(G, m.mElL), dt)
+        padE_loc = self._slice_groups(padE)
         FlocD = jnp.concatenate([
-            jnp.broadcast_to(jnp.asarray(delta_d, dt), (gl, m.mElL)),
+            jnp.asarray(delta_d, dt) + padE_loc,
             OmlL_loc + delta_d], axis=1)                         # [G_loc, mL]
         negSloc = jax.vmap(jnp.diag)(FlocD.astype(fd)) + RtW
         Lloc = jnp.linalg.cholesky(negSloc)                  # [G_loc, mL, mL]
@@ -328,7 +344,7 @@ class HierArrowBackend(ArrowBackend):
         EiRo = RoX * Einv[:, :, None]
         rhsO = (jnp.einsum("iam,imS->iaS", M.astype(fd), EiRo.astype(fd))
                 - RoM.astype(fd))
-        WmO = _bchol_solve(L, rhsO)                              # [N, a, nSo]
+        WmO = self._apply_Ninv_multi(L, Ninv, rhsO)              # [N, a, nSo]
         WxO = EiRo.astype(fd) - Einv.astype(fd)[:, :, None] * jnp.einsum(
             "iam,iaS->imS", M.astype(fd), WmO)
         gB = jnp.concatenate([WxO, WmO], axis=1)                 # [N, k, nSo]
@@ -385,10 +401,12 @@ class HierArrowBackend(ArrowBackend):
             WoutL=WoutL.astype(dt),
             chol1=chol1, T=T.astype(dt), chol2=chol2,
             Einv0=Einv0, Om0=Om0, OmlG=OmlG, OmlL=OmlL,
-            delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d, dt))
+            delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d, dt),
+            Ninv=Ninv, leaf_ok=leaf_ok)
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
-        ok = (jnp.all(jnp.isfinite(fac.L))
+        ok = (fac.leaf_ok
+              & jnp.all(jnp.isfinite(fac.L))
               & jnp.all(jnp.isfinite(fac.Lloc))
               & jnp.all(jnp.isfinite(fac.chol1))
               & jnp.all(jnp.isfinite(fac.chol2)))
@@ -416,11 +434,43 @@ class HierArrowBackend(ArrowBackend):
                               rAl_glob, rzl_glob])
 
         sol = self._solve_core_hier(fac, rho_x0, q0, rho_x, rho_m, rho_lnk)
-        for _ in range(max(refinement_steps, 0)):
+
+        def err_norm(s):
             err = self._residual_hier(fac, rho_x0, q0, rho_x, rho_m,
-                                      rho_lnk, sol)
-            corr = self._solve_core_hier(fac, *err)
-            sol = jax.tree.map(lambda a, b: a + b, sol, corr)
+                                      rho_lnk, s)
+            nrm = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(e)) if e.size else jnp.zeros((), dt)
+                 for e in jax.tree.leaves(err)]))
+            if self.axis is not None:
+                nrm = jax.lax.pmax(nrm, self.axis)
+            return err, nrm
+
+        if refinement_steps > 0:
+            # keep-better refinement (mirrors ArrowBackend.solve_reduced):
+            # an f32-factor correction can DIVERGE; keep the better
+            # iterate and stop when no longer improving
+            dt = rho_x.dtype
+            err0, nrm0 = err_norm(sol)
+
+            def cond(carry):
+                s, err, k, nrm, prev = carry
+                return (k < refinement_steps) & (nrm > 1e-12) \
+                    & (nrm < 0.5 * prev)
+
+            def body(carry):
+                s, err, k, nrm, _prev = carry
+                corr = self._solve_core_hier(fac, *err)
+                new = jax.tree.map(lambda a, b: a + b, s, corr)
+                err2, nrm2 = err_norm(new)
+                worse = nrm2 > nrm
+                keep = jax.tree.map(
+                    lambda a, b: jnp.where(worse, a, b), s, new)
+                return (keep, err2, k + 1,
+                        jnp.where(worse, nrm, nrm2), nrm)
+
+            sol, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (sol, err0, jnp.zeros((), jnp.int32), nrm0,
+                             jnp.asarray(jnp.inf, nrm0.dtype)))
 
         dx0, dxb, d0, gm, wl = sol
         # wl: [G, mL] local-link duals (hat sign); rebuild permuted link vec
@@ -507,7 +557,8 @@ class HierArrowBackend(ArrowBackend):
         M = jnp.concatenate([lp.B, lp.D], axis=1)
         # level 0: leaf solves
         t = jnp.einsum("iam,im->ia", M, fac.Einv * rho_x) - rho_m
-        gm = _bchol_solve(fac.L, t[..., None].astype(fd))[..., 0]
+        gm = self._apply_Ninv_multi(fac.L, fac.Ninv,
+                                    t[..., None].astype(fd))[..., 0]
         gm = gm.astype(rho_x.dtype)
         gx = fac.Einv * (rho_x - jnp.einsum("iam,ia->im", M, gm))
         gk = jnp.concatenate([gx, gm], axis=1)                   # [N, k]
