@@ -302,6 +302,37 @@ def make_arrowhead_lp(blocks: list[dict], first_stage: dict,
     li = linking_ineq or {k: np.zeros((mIl,)) for k in
                           ("iclow", "clow", "icupp", "cupp")}
 
+    # ---- intake validation (fail HERE with row identity, not with an
+    # opaque shape error or an inf/NaN solve later) ----
+    if len(np.asarray(le["b"])) != mEl:
+        raise ValueError(
+            f"linking_eq b has {len(np.asarray(le['b']))} rows but "
+            f"first_stage F0 declares mEl={mEl} (pass F0 and per-block F "
+            f"strips matching the linking rhs)")
+    if len(np.asarray(li["iclow"])) != mIl:
+        raise ValueError(
+            f"linking_ineq masks have {len(np.asarray(li['iclow']))} rows "
+            f"but first_stage G0 declares mIl={mIl}")
+    if mIl and linking_ineq is None:
+        raise ValueError(
+            "G0 declares linking inequality rows but linking_ineq is "
+            "None: every inequality row needs at least one finite side "
+            "(a both-sides-free row makes the IPM barrier singular)")
+
+    def check_ineq_bounded(il, iu, what):
+        il = np.asarray(il)
+        iu = np.asarray(iu)
+        bad = np.nonzero((il <= 0) & (iu <= 0))
+        if bad[0].size:
+            raise ValueError(
+                f"{what}: row(s) {bad[0][:5].tolist()} have neither a "
+                f"lower nor an upper bound — drop them or bound one side")
+
+    check_ineq_bounded(fs["iclow"], fs["icupp"], "first-stage ineq")
+    check_ineq_bounded(li["iclow"], li["icupp"], "linking ineq")
+    for i, blk in enumerate(blocks):
+        check_ineq_bounded(blk["iclow"], blk["icupp"], f"block {i} ineq")
+
     arr = partial(jnp.asarray, dtype=dtype)
     return ArrowheadLP(
         c0=arr(fs["c"]), A0=arr(fs["A"]), b0=arr(fs["b"]), C0=arr(fs["C"]),

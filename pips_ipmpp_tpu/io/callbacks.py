@@ -23,9 +23,8 @@ def csr_to_dense(m: int, n: int, krow, jcol, vals) -> np.ndarray:
     krow = np.asarray(krow)
     jcol = np.asarray(jcol)
     vals = np.asarray(vals, dtype=np.float64)
-    for r in range(m):
-        for p in range(int(krow[r]), int(krow[r + 1])):
-            out[r, jcol[p]] = vals[p]
+    rows = np.repeat(np.arange(m), np.diff(krow))
+    out[rows, jcol[:len(rows)]] = vals[:len(rows)]
     return out
 
 

@@ -446,7 +446,8 @@ def initial_iterate(be, shift: float) -> Iterate:
     1/0 elsewhere (reference Variables::push_to_interior + Solver.cpp:16-31).
 
     x starts at the projection of 0 into [xlow+shift, xupp-shift] midpoints;
-    s = Cx clipped similarly."""
+    s starts at the analogous center of the inequality-row bounds (NOT at
+    Cx: the initial rC = Cx - s is absorbed by the first affine step)."""
     bd = be.bounds
 
     def center(mlo, lo, mup, up):

@@ -58,25 +58,33 @@ _MIN_REL_FLOOR = 1e-8   # entries below this fraction of the row/col max are
 # work on meaningful magnitudes only)
 
 
-def _rstat(S, op):
-    """Row reduce of a scaled abs matrix; op in (max, min-over-nonzeros)."""
+def _rstat(S, op, floor=None):
+    """Row reduce of a scaled abs matrix; op in (max, min-over-nonzeros).
+
+    `floor` (row-shaped) lets callers exclude entries below a fraction of
+    the FULL row's max when the row spans several matrix parts — a
+    per-part floor would let an incidentally tiny coefficient in a
+    low-magnitude part drive the min (and the geometric factor) to
+    extremes."""
     if S.shape[-1] == 0:
         fill = 0.0 if op == "max" else _INF
         return jnp.full(S.shape[:-1], fill, S.dtype)
     if op == "max":
         return jnp.max(S, axis=-1)
-    floor = _MIN_REL_FLOOR * jnp.max(S, axis=-1, keepdims=True)
-    return jnp.min(jnp.where(S > floor, S, _INF), axis=-1)
+    thr = (floor[..., None] if floor is not None
+           else _MIN_REL_FLOOR * jnp.max(S, axis=-1, keepdims=True))
+    return jnp.min(jnp.where(S > thr, S, _INF), axis=-1)
 
 
-def _cstat(S, op):
+def _cstat(S, op, floor=None):
     if S.shape[-2] == 0:
         fill = 0.0 if op == "max" else _INF
         return jnp.full(S.shape[:-2] + S.shape[-1:], fill, S.dtype)
     if op == "max":
         return jnp.max(S, axis=-2)
-    floor = _MIN_REL_FLOOR * jnp.max(S, axis=-2, keepdims=True)
-    return jnp.min(jnp.where(S > floor, S, _INF), axis=-2)
+    thr = (floor[..., None, :] if floor is not None
+           else _MIN_REL_FLOOR * jnp.max(S, axis=-2, keepdims=True))
+    return jnp.min(jnp.where(S > thr, S, _INF), axis=-2)
 
 
 class _DenseView:
@@ -100,8 +108,13 @@ class _DenseView:
         lp = self.lp
         SA = _mm(lp.A) * rE[:, None] * s[None, :]
         SC = _mm(lp.C) * rC[:, None] * s[None, :]
-        red = jnp.maximum if op == "max" else jnp.minimum
-        return red(_cstat(SA, op), _cstat(SC, op))
+        if op == "max":
+            return jnp.maximum(_cstat(SA, "max"), _cstat(SC, "max"))
+        # min over the FULL column (A and C parts share variables):
+        # floor from the combined column max
+        fl = _MIN_REL_FLOOR * jnp.maximum(_cstat(SA, "max"),
+                                          _cstat(SC, "max"))
+        return jnp.minimum(_cstat(SA, "min", fl), _cstat(SC, "min", fl))
 
     def apply(self, s, rE, rC) -> DenseLP:
         lp = self.lp
@@ -136,16 +149,30 @@ class _ArrowView:
         red = jnp.maximum if op == "max" else jnp.minimum
 
         def rows(M0, Mb, Bb, Ml0, Mlb, r0, rb, rl):
-            # block-0 rows, per-block rows (border+diag), linking rows
+            # block-0 rows, per-block rows (border+diag), linking rows.
+            # Min stats use a floor from the FULL row's max across parts
+            # (border+diag, block-0 strip + all block strips).
             S0 = _mm(M0) * r0[:, None] * s.first[None, :]
             first = _rstat(S0, op)
             Sb1 = _mm(Mb) * rb[:, :, None] * s.first[None, None, :]
             Sb2 = _mm(Bb) * rb[:, :, None] * s.blocks[:, None, :]
-            blocks = red(_rstat(Sb1, op), _rstat(Sb2, op))
             Sl0 = _mm(Ml0) * rl[:, None] * s.first[None, :]
             Slb = _mm(Mlb) * rl[None, :, None] * s.blocks[:, None, :]
-            stat_l0 = _rstat(Sl0, op)
-            stat_lb = _rstat(Slb, op)   # [N, ml]
+            if op == "max":
+                blocks = red(_rstat(Sb1, "max"), _rstat(Sb2, "max"))
+                stat_l0 = _rstat(Sl0, "max")
+                stat_lb = _rstat(Slb, "max")
+            else:
+                fb = _MIN_REL_FLOOR * jnp.maximum(_rstat(Sb1, "max"),
+                                                  _rstat(Sb2, "max"))
+                blocks = red(_rstat(Sb1, "min", fb), _rstat(Sb2, "min", fb))
+                l0max = _rstat(Sl0, "max")
+                lbmax = _rstat(Slb, "max")
+                gl = jnp.maximum(l0max, jnp.max(lbmax, 0)) \
+                    if lbmax.shape[0] else l0max
+                fl = _MIN_REL_FLOOR * gl
+                stat_l0 = _rstat(Sl0, "min", fl)
+                stat_lb = _rstat(Slb, "min", fl[None, :])
             if stat_lb.shape[0]:
                 agg = (jnp.max(stat_lb, 0) if op == "max"
                        else jnp.min(stat_lb, 0))
@@ -164,35 +191,60 @@ class _ArrowView:
         lp = self.lp
         red = jnp.maximum if op == "max" else jnp.minimum
 
-        def cs(M, r, sc):   # [m, k] with row scale r -> col stat
-            return _cstat(_mm(M) * r[:, None] * sc, op)
+        # scaled abs parts.  First-stage columns span 6 matrices (the
+        # batched border parts aggregate their block axis); block columns
+        # span 4.  Min stats use a floor from the FULL column max so an
+        # incidentally tiny coefficient in one part cannot drive the
+        # geometric factor (see _rstat).
+        first_parts = [
+            (_mm(lp.A0) * rE.first[:, None] * s.first[None, :], False),
+            (_mm(lp.C0) * rC.first[:, None] * s.first[None, :], False),
+            (_mm(lp.F0) * rE.link[:, None] * s.first[None, :], False),
+            (_mm(lp.G0) * rC.link[:, None] * s.first[None, :], False),
+            (_mm(lp.A) * rE.blocks[:, :, None] * s.first[None, None, :],
+             True),
+            (_mm(lp.C) * rC.blocks[:, :, None] * s.first[None, None, :],
+             True),
+        ]
+        block_parts = [
+            _mm(lp.B) * rE.blocks[:, :, None] * s.blocks[:, None, :],
+            _mm(lp.D) * rC.blocks[:, :, None] * s.blocks[:, None, :],
+            _mm(lp.F) * rE.link[None, :, None] * s.blocks[:, None, :],
+            _mm(lp.G) * rC.link[None, :, None] * s.blocks[:, None, :],
+        ]
 
-        def csb(M, r, sc):  # [N, m, k] batched
-            return _cstat(_mm(M) * r[:, :, None] * sc, op)
+        def first_stat(statop, floor=None):
+            out = None
+            for S, batched in first_parts:
+                fl = None if floor is None else (
+                    floor[None, :] if batched else floor)
+                st = _cstat(S, statop, fl)
+                if batched and st.shape[0]:
+                    st = (jnp.max(st, 0) if statop == "max"
+                          else jnp.min(st, 0))
+                elif batched:
+                    st = jnp.full(st.shape[1:],
+                                  0.0 if statop == "max" else _INF,
+                                  st.dtype)
+                out = st if out is None else (
+                    jnp.maximum(out, st) if statop == "max"
+                    else jnp.minimum(out, st))
+            return out
 
-        # first-stage columns: A0,C0,F0,G0 + all borders A_i, C_i
-        parts0 = [cs(lp.A0, rE.first, s.first[None, :]),
-                  cs(lp.C0, rC.first, s.first[None, :]),
-                  cs(lp.F0, rE.link, s.first[None, :]),
-                  cs(lp.G0, rC.link, s.first[None, :])]
-        bA = csb(lp.A, rE.blocks, s.first[None, None, :])   # [N, n0]
-        bC = csb(lp.C, rC.blocks, s.first[None, None, :])
-        if lp.N:
-            parts0.append(jnp.max(bA, 0) if op == "max" else jnp.min(bA, 0))
-            parts0.append(jnp.max(bC, 0) if op == "max" else jnp.min(bC, 0))
-        first = parts0[0]
-        for p in parts0[1:]:
-            first = red(first, p)
+        def block_stat(statop, floor=None):
+            out = None
+            for S in block_parts:
+                st = _cstat(S, statop, floor)
+                out = st if out is None else (
+                    jnp.maximum(out, st) if statop == "max"
+                    else jnp.minimum(out, st))
+            return out
 
-        # block columns: B_i, D_i, F_i, G_i
-        pB = csb(lp.B, rE.blocks, s.blocks[:, None, :])
-        pD = csb(lp.D, rC.blocks, s.blocks[:, None, :])
-        pF = _cstat(_mm(lp.F) * rE.link[None, :, None] * s.blocks[:, None, :],
-                    op)
-        pG = _cstat(_mm(lp.G) * rC.link[None, :, None] * s.blocks[:, None, :],
-                    op)
-        blocks = red(red(pB, pD), red(pF, pG))
-        return XVec(first, blocks)
+        if op == "max":
+            return XVec(first_stat("max"), block_stat("max"))
+        ffl = _MIN_REL_FLOOR * first_stat("max")
+        bfl = _MIN_REL_FLOOR * block_stat("max")
+        return XVec(first_stat("min", ffl), block_stat("min", bfl))
 
     def apply(self, s, rE, rC) -> ArrowheadLP:
         lp = self.lp
@@ -334,10 +386,6 @@ class CurtisReidScaler(_ScalerBase):
         # pattern & log-magnitude row/col aggregates via the stats machinery
         # would lose signs; compute directly per view type.
         lp = view.lp
-        if isinstance(view, _DenseView):
-            mats = [("E", lp.A), ("C", lp.C)]
-        else:
-            mats = None  # handled structurally below
 
         def logabs(M):
             m = jnp.abs(M)

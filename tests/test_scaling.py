@@ -109,3 +109,51 @@ def test_interface_with_scaler():
     assert st == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(iface.getObjective() - base.getObjective()) < 1e-5 * max(
         1.0, abs(base.getObjective()))
+
+
+def test_min_floor_spans_matrix_parts():
+    """An incidentally tiny border coefficient must not drive a row's
+    geometric factor: the min-statistic floor derives from the FULL row
+    max across matrix parts (border + diagonal), not per part."""
+    lp = random_arrowhead_lp(0, N=2, n=6, mE=3, mI=3)
+    import dataclasses
+    A = np.asarray(lp.A).copy()
+    A[0, 0, 0] = 1e-9            # tiny border entry in a ~1-magnitude row
+    lp2 = dataclasses.replace(lp, A=jnp.asarray(A))
+    g = make_scaler(ScalerType.GEOMETRIC_MEAN)
+    s1 = g.scale(lp)
+    s2 = g.scale(lp2)
+    # the tiny entry is below the full-row floor -> same row factor
+    r1 = np.asarray(g.rE.blocks) if hasattr(g, "rE") else None
+    b1 = np.asarray(s1.bN)
+    b2 = np.asarray(s2.bN)
+    np.testing.assert_allclose(b2[0, 0], b1[0, 0], rtol=1e-12)
+
+
+def test_make_arrowhead_lp_validation():
+    """Intake validation: mismatched linking dims and both-sides-free
+    inequality rows fail fast with a clear message."""
+    import pytest
+    from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
+    blk = dict(c=np.zeros(2), A=np.zeros((1, 2)), B=np.eye(1, 2),
+               b=np.zeros(1), C=np.zeros((1, 2)), D=np.ones((1, 2)),
+               iclow=np.ones(1), clow=np.zeros(1),
+               icupp=np.zeros(1), cupp=np.zeros(1),
+               ixlow=np.ones(2), xlow=np.zeros(2),
+               ixupp=np.zeros(2), xupp=np.zeros(2),
+               F=np.zeros((0, 2)), G=np.zeros((0, 2)))
+    first = dict(c=np.zeros(2), A=np.zeros((1, 2)), b=np.zeros(1),
+                 C=np.zeros((0, 2)), iclow=np.zeros(0), clow=np.zeros(0),
+                 icupp=np.zeros(0), cupp=np.zeros(0),
+                 ixlow=np.ones(2), xlow=np.zeros(2),
+                 ixupp=np.zeros(2), xupp=np.zeros(2),
+                 F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+    make_arrowhead_lp([blk], first)   # valid
+
+    with pytest.raises(ValueError, match="linking_eq"):
+        make_arrowhead_lp([blk], first, linking_eq={"b": np.ones(3)})
+
+    bad = dict(blk)
+    bad["iclow"] = np.zeros(1)        # row with NO side
+    with pytest.raises(ValueError, match="neither"):
+        make_arrowhead_lp([bad], first)
