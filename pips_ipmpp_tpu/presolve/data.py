@@ -88,6 +88,16 @@ class PresolveData:
     rowI_activeN: np.ndarray = None
     rowI_activel: np.ndarray = None
     infeasible: bool = False
+    # per-eq-row accumulated |a * val| from substitutions: the scale of
+    # float cancellation a later emptiness/infeasibility test must
+    # tolerate (absolute FEASTOL mis-declares infeasible after O(1e9)
+    # substitutions cancel to an O(1e-7) residual)
+    rhs_shift0: np.ndarray = None
+    rhs_shiftN: np.ndarray = None
+    rhs_shiftl: np.ndarray = None
+    rhs_shiftI0: np.ndarray = None
+    rhs_shiftIN: np.ndarray = None
+    rhs_shiftIl: np.ndarray = None
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -104,6 +114,12 @@ class PresolveData:
         pd.rowI_active0 = np.ones(lp.m0I, bool)
         pd.rowI_activeN = np.ones((lp.N, lp.mI), bool)
         pd.rowI_activel = np.ones(lp.mIl, bool)
+        pd.rhs_shift0 = np.zeros(lp.m0E)
+        pd.rhs_shiftN = np.zeros((lp.N, lp.mE))
+        pd.rhs_shiftl = np.zeros(lp.mEl)
+        pd.rhs_shiftI0 = np.zeros(lp.m0I)
+        pd.rhs_shiftIN = np.zeros((lp.N, lp.mI))
+        pd.rhs_shiftIl = np.zeros(lp.mIl)
         return pd
 
     def to_lp(self, dtype) -> ArrowheadLP:
@@ -189,25 +205,32 @@ class PresolveData:
                   eq_col=eq_col, iq_col=iq_col, reason=reason)
         self.objective_offset += float(c[j]) * val
 
-        # substitute in equality rows
+        # substitute in equality rows (tracking the substitution
+        # magnitude per row for scale-aware feasibility tests)
         for (rb, r, a) in eq_col:
             if rb == FIRST:
                 self.b0[r] -= a * val
+                self.rhs_shift0[r] += abs(a * val)
             elif rb == LINK:
                 self.bl[r] -= a * val
+                self.rhs_shiftl[r] += abs(a * val)
             else:
                 self.bN[rb, r] -= a * val
+                self.rhs_shiftN[rb, r] += abs(a * val)
         # substitute in inequality rows (shift both bounds)
         for (rb, r, a) in iq_col:
             if rb == FIRST:
                 self.clow0[r] -= a * val
                 self.cupp0[r] -= a * val
+                self.rhs_shiftI0[r] += abs(a * val)
             elif rb == LINK:
                 self.clowl[r] -= a * val
                 self.cuppl[r] -= a * val
+                self.rhs_shiftIl[r] += abs(a * val)
             else:
                 self.clowN[rb, r] -= a * val
                 self.cuppN[rb, r] -= a * val
+                self.rhs_shiftIN[rb, r] += abs(a * val)
 
         # zero the column + deactivate (inert boxed var)
         self._zero_column(blk, j)

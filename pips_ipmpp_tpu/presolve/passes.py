@@ -21,54 +21,6 @@ FEASTOL = 1e-9
 #                               rhs-ish data)
 # ----------------------------------------------------------------------
 
-def _eq_rows(pd: PresolveData):
-    for r in np.nonzero(pd.rowE_active0)[0]:
-        coeffs = [(FIRST, int(j), pd.A0[r, j])
-                  for j in np.nonzero(pd.A0[r])[0]]
-        yield FIRST, int(r), coeffs, float(pd.b0[r])
-    for i in range(pd.N):
-        for r in np.nonzero(pd.rowE_activeN[i])[0]:
-            coeffs = ([(FIRST, int(j), pd.A[i][r, j])
-                       for j in np.nonzero(pd.A[i][r])[0]]
-                      + [(i, int(j), pd.B[i][r, j])
-                         for j in np.nonzero(pd.B[i][r])[0]])
-            yield i, int(r), coeffs, float(pd.bN[i, r])
-    for r in np.nonzero(pd.rowE_activel)[0]:
-        coeffs = [(FIRST, int(j), pd.F0[r, j])
-                  for j in np.nonzero(pd.F0[r])[0]]
-        for i in range(pd.N):
-            coeffs += [(i, int(j), pd.F[i][r, j])
-                       for j in np.nonzero(pd.F[i][r])[0]]
-        yield LINK, int(r), coeffs, float(pd.bl[r])
-
-
-def _ineq_rows(pd: PresolveData):
-    def bnds(il, lo, iu, up):
-        return (float(il), float(lo), float(iu), float(up))
-
-    for r in np.nonzero(pd.rowI_active0)[0]:
-        coeffs = [(FIRST, int(j), pd.C0[r, j])
-                  for j in np.nonzero(pd.C0[r])[0]]
-        yield FIRST, int(r), coeffs, bnds(pd.iclow0[r], pd.clow0[r],
-                                          pd.icupp0[r], pd.cupp0[r])
-    for i in range(pd.N):
-        for r in np.nonzero(pd.rowI_activeN[i])[0]:
-            coeffs = ([(FIRST, int(j), pd.C[i][r, j])
-                       for j in np.nonzero(pd.C[i][r])[0]]
-                      + [(i, int(j), pd.D[i][r, j])
-                         for j in np.nonzero(pd.D[i][r])[0]])
-            yield i, int(r), coeffs, bnds(pd.iclowN[i, r], pd.clowN[i, r],
-                                          pd.icuppN[i, r], pd.cuppN[i, r])
-    for r in np.nonzero(pd.rowI_activel)[0]:
-        coeffs = [(FIRST, int(j), pd.G0[r, j])
-                  for j in np.nonzero(pd.G0[r])[0]]
-        for i in range(pd.N):
-            coeffs += [(i, int(j), pd.G[i][r, j])
-                       for j in np.nonzero(pd.G[i][r])[0]]
-        yield LINK, int(r), coeffs, bnds(pd.iclowl[r], pd.clowl[r],
-                                         pd.icuppl[r], pd.cuppl[r])
-
-
 def _var_bounds(pd, vb, j):
     _, ixl, xl, ixu, xu, _ = pd.var_arrays(vb)
     lo = xl[j] if ixl[j] > 0 else -np.inf
@@ -93,18 +45,35 @@ def model_cleanup(pd: PresolveData) -> int:
     from pips_ipmpp_tpu.presolve import vectorized as V
 
     n = 0
-    # drop tiny matrix entries (relative to row max)
-    for M in (pd.A0, pd.C0, pd.F0, pd.G0):
-        n += _drop_tiny(M)
-    for M in (pd.A, pd.B, pd.C, pd.D, pd.F, pd.G):
-        for i in range(M.shape[0]):
-            n += _drop_tiny(M[i])
 
-    # empty rows (vectorized nnz over scopes)
+    def ranges_of(vb):
+        _, ixl, xl, ixu, xu, _ = pd.var_arrays(vb)
+        lo = np.where(ixl > 0, xl, -np.inf)
+        up = np.where(ixu > 0, xu, np.inf)
+        return up - lo
+
+    # drop tiny matrix entries (relative to row max, and only when the
+    # entry's IMPACT |a| * bound-range is negligible — a tiny coefficient
+    # on an unbounded variable must stay)
+    r0 = ranges_of(FIRST)
+    for M in (pd.A0, pd.C0, pd.F0, pd.G0):
+        n += _drop_tiny(M, r0)
+    for M in (pd.A, pd.C):                    # first-stage borders
+        for i in range(M.shape[0]):
+            n += _drop_tiny(M[i], r0)
+    for M in (pd.B, pd.D, pd.F, pd.G):        # block-variable columns
+        for i in range(M.shape[0]):
+            n += _drop_tiny(M[i], ranges_of(i))
+
+    # empty rows (vectorized nnz over scopes).  Infeasibility tests are
+    # RELATIVE to the substitution magnitudes this row absorbed: after
+    # fixing variables at O(M) values, float cancellation legitimately
+    # leaves an O(eps * M) residual on an emptied row
     for scope, b, _ in V.eq_scopes(pd):
         nnz = np.count_nonzero(scope.K, axis=-1)
         empty = (nnz == 0) & scope.active
-        if np.any(empty & (np.abs(np.asarray(b)) > FEASTOL)):
+        tol = FEASTOL * (1.0 + _eq_shift(pd, scope.kind))
+        if np.any(empty & (np.abs(np.asarray(b)) > tol)):
             pd.infeasible = True
             return n
         for ix in np.argwhere(empty):
@@ -113,8 +82,9 @@ def model_cleanup(pd: PresolveData) -> int:
     for scope, lo_r, up_r in V.ineq_scopes(pd):
         nnz = np.count_nonzero(scope.K, axis=-1)
         empty = (nnz == 0) & scope.active
-        if np.any(empty & ((np.asarray(lo_r) > FEASTOL)
-                           | (np.asarray(up_r) < -FEASTOL))):
+        tol = FEASTOL * (1.0 + _ineq_shift(pd, scope.kind))
+        if np.any(empty & ((np.asarray(lo_r) > tol)
+                           | (np.asarray(up_r) < -tol))):
             pd.infeasible = True
             return n
         for ix in np.argwhere(empty):
@@ -126,15 +96,40 @@ def model_cleanup(pd: PresolveData) -> int:
     return n
 
 
-def _drop_tiny(M) -> int:
+def _eq_shift(pd, kind):
+    return {"first": pd.rhs_shift0, "block": pd.rhs_shiftN,
+            "link": pd.rhs_shiftl}[kind]
+
+
+def _ineq_shift(pd, kind):
+    return {"first": pd.rhs_shiftI0, "block": pd.rhs_shiftIN,
+            "link": pd.rhs_shiftIl}[kind]
+
+
+def _drop_tiny(M, col_range=None) -> int:
+    """Zero entries that are both tiny and of negligible IMPACT.
+
+    `col_range` [n] is each variable's bound range (inf when a side is
+    missing): an entry may only be dropped when |a| * range is below the
+    feasibility tolerance — a 1e-13 coefficient on an UNBOUNDED variable
+    can carry arbitrarily large activity and must stay (the reference's
+    PRESOLVE_MODEL_CLEANUP_MATRIX_ENTRY_IMPACT_FEASDIST rule)."""
     if M.size == 0:
         return 0
-    from pips_ipmpp_tpu import native
-    if M.dtype == np.float64 and M.flags.c_contiguous:
-        return native.drop_tiny_entries(M, TINY_ABS, TINY_REL)
+    if col_range is None:
+        from pips_ipmpp_tpu import native
+        if M.dtype == np.float64 and M.flags.c_contiguous:
+            return native.drop_tiny_entries(M, TINY_ABS, TINY_REL)
+        col_range = np.zeros(M.shape[-1])
     rowmax = np.max(np.abs(M), axis=-1, keepdims=True)
-    mask = (np.abs(M) > 0) & ((np.abs(M) < TINY_ABS)
-                              | (np.abs(M) < TINY_REL * rowmax))
+    absM = np.abs(M)
+    with np.errstate(invalid="ignore"):
+        impact_ok = np.where(np.isfinite(col_range)[None, :],
+                             absM * np.where(np.isfinite(col_range),
+                                             col_range, 0.0) < FEASTOL,
+                             False)
+    mask = ((absM > 0) & impact_ok
+            & ((absM < TINY_ABS) | (absM < TINY_REL * rowmax)))
     M[mask] = 0.0
     return int(mask.sum())
 
@@ -144,13 +139,13 @@ def _drop_tiny(M) -> int:
 # ======================================================================
 
 def _scope_singletons(scope):
-    """Vectorized singleton-row detection: yields (row_ix, flat_col) for
-    active rows with exactly one nonzero."""
+    """Vectorized singleton-row detection: yields the row index tuples of
+    active rows with exactly one nonzero (candidates only — callers
+    re-validate and re-locate the column against LIVE data)."""
     nnz = np.count_nonzero(scope.K, axis=-1)
     single = (nnz == 1) & scope.active
-    cols = np.argmax(scope.K != 0, axis=-1)
     for ix in np.argwhere(single):
-        yield ix, int(cols[tuple(ix)])
+        yield ix
 
 
 def _live_eq_row(pd: PresolveData, kind: str, ix):
@@ -197,7 +192,7 @@ def singleton_rows(pd: PresolveData) -> int:
     while changed and not pd.infeasible:
         changed = False
         for scope, b, _ in V.eq_scopes(pd):
-            for ix, fj in _scope_singletons(scope):
+            for ix in _scope_singletons(scope):
                 blk, r = _scope_blk(scope, ix)
                 i_blk = ix[0] if scope.kind == "block" else 0
                 # re-validate against LIVE data: an earlier fix in this
@@ -209,8 +204,9 @@ def singleton_rows(pd: PresolveData) -> int:
                 nz = np.nonzero(rowv)[0]
                 if nz.size == 0:
                     # emptied by an earlier fix: contradictory rhs is
-                    # infeasibility, a ~0 rhs is cleanup's job
-                    if abs(brhs) > FEASTOL:
+                    # infeasibility (scale-aware), ~0 rhs is cleanup's job
+                    sh = _eq_shift(pd, scope.kind)[tuple(ix)]
+                    if abs(brhs) > FEASTOL * (1.0 + sh):
                         pd.infeasible = True
                         return n
                     continue
@@ -231,7 +227,7 @@ def singleton_rows(pd: PresolveData) -> int:
                 n += 1
                 changed = True
         for scope, lo_arr, up_arr in V.ineq_scopes(pd):
-            for ix, fj in _scope_singletons(scope):
+            for ix in _scope_singletons(scope):
                 blk, r = _scope_blk(scope, ix)
                 i_blk = ix[0] if scope.kind == "block" else 0
                 # re-validate against LIVE data (see eq loop above)
@@ -272,6 +268,11 @@ def column_fixation(pd: PresolveData, tol: float = 1e-11) -> int:
         c, ixl, xl, ixu, xu, active = pd.var_arrays(vb)
         for j in np.nonzero(active)[0]:
             if ixl[j] > 0 and ixu[j] > 0 and xu[j] - xl[j] < tol:
+                if xu[j] < xl[j] - FEASTOL:
+                    # crossed bounds (straight from user data): infeasible,
+                    # NOT a fixing to the (bound-violating) midpoint
+                    pd.infeasible = True
+                    return n
                 pd.fix_variable(vb, int(j), 0.5 * (xl[j] + xu[j]),
                                 reason="column_fixation")
                 n += 1

@@ -63,7 +63,7 @@ def eq_scopes(pd: PresolveData):
     if pd.A0.shape[0]:
         out.append((Scope("first", pd.A0, pd.rowE_active0, lo0, up0),
                     pd.b0, pd.b0))
-    if pd.B.shape[1]:
+    if pd.B.shape[0] and pd.B.shape[1]:
         K = np.concatenate([pd.A, pd.B], axis=2)          # [N, mE, n0+n]
         lo = np.concatenate([np.broadcast_to(lo0, (N, lo0.size)), loN], 1)
         up = np.concatenate([np.broadcast_to(up0, (N, up0.size)), upN], 1)
@@ -92,7 +92,7 @@ def ineq_scopes(pd: PresolveData):
         lo_r, up_r = rb(pd.iclow0, pd.clow0, pd.icupp0, pd.cupp0)
         out.append((Scope("first", pd.C0, pd.rowI_active0, lo0, up0),
                     lo_r, up_r))
-    if pd.D.shape[1]:
+    if pd.D.shape[0] and pd.D.shape[1]:
         K = np.concatenate([pd.C, pd.D], axis=2)
         lo = np.concatenate([np.broadcast_to(lo0, (N, lo0.size)), loN], 1)
         up = np.concatenate([np.broadcast_to(up0, (N, up0.size)), upN], 1)

@@ -445,3 +445,60 @@ def test_singleton_rows_sharing_variable():
     bad = PIPSIPMppTPUInterface(lp_with(9.0),
                                 Options(presolve=PresolverType.PRESOLVE))
     assert bad.run() == TerminationStatus.INFEASIBLE
+
+
+def test_crossed_bounds_infeasible():
+    """xupp < xlow from user data must be INFEASIBLE, not fixed to the
+    (bound-violating) midpoint."""
+    first = dict(
+        c=np.array([1.0, 1.0]),
+        A=np.array([[1.0, 1.0]]), b=np.array([2.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.ones(2), xlow=np.array([5.0, 0.0]),
+        ixupp=np.ones(2), xupp=np.array([3.0, 10.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+    lp = make_arrowhead_lp(_anchor_block_n0(2), first)
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    assert iface.run() == TerminationStatus.INFEASIBLE
+
+
+def test_tiny_entry_on_unbounded_variable_not_dropped():
+    """A 1e-13 coefficient on a FREE variable carries arbitrarily large
+    activity: cleanup must keep it (x = 1e8 solves the row), not drop it
+    and misdeclare infeasibility."""
+    first = dict(
+        c=np.array([0.0, 1.0]),
+        A=np.array([[1e-13, 0.0], [0.0, 1.0]]), b=np.array([1e-8, 1.0]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.zeros(2), xlow=np.zeros(2),    # x free
+        ixupp=np.zeros(2), xupp=np.zeros(2),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+    lp = make_arrowhead_lp(_anchor_block_n0(2), first)
+    res = Presolver().presolve(lp)
+    assert not res.infeasible
+
+
+def test_large_magnitude_substitution_cancellation_tolerated():
+    """Fixing a variable at O(1e9) shifts another row's rhs by O(1e9);
+    when that row later empties, the leftover float-cancellation residual
+    must not read as infeasibility."""
+    b1 = 1e9 + 1e-7      # 2e = 2*(b1/2): rhs crafted so cancellation ~1e-7
+    first = dict(
+        c=np.array([1.0, 1.0]),
+        # row 0: singleton 2x = 1e9 -> x = 5e8
+        # row 1: 2x + y = b1 -> y = b1 - 1e9 (tiny); then singleton again
+        A=np.array([[2.0, 0.0], [2.0, 1.0]]),
+        b=np.array([1e9, b1]),
+        C=np.zeros((0, 2)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.zeros(2), xlow=np.zeros(2),
+        ixupp=np.zeros(2), xupp=np.zeros(2),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)))
+    lp = make_arrowhead_lp(_anchor_block_n0(2), first)
+    res = Presolver().presolve(lp)
+    assert not res.infeasible
