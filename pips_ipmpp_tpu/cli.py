@@ -29,7 +29,9 @@ def main(argv=None) -> int:
     from pips_ipmpp_tpu.core.status import TerminationStatus
     from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
 
-    opts = Options(print_level=10)
+    # gmspips defaults to the PRIMAL (single steplength) rule; `stepLp`
+    # opts into primal-dual (gmspips.cpp flag of the same name)
+    opts = Options(print_level=10, step_mode=StepMode.PRIMAL)
     if argv[0] == "--check":
         # block-file consistency check (the reference's gmspipschk)
         return check_blocks(argv[1], int(argv[2]) if len(argv) > 2 else None)
@@ -124,7 +126,11 @@ def check_blocks(stem: str, n_blocks=None) -> int:
     mEl = meta["bl"].shape[0]
     mIl = meta["clowl"].shape[0]
 
-    b0 = np.load(f"{stem}_block0.npz")
+    try:
+        b0 = np.load(f"{stem}_block0.npz")
+    except FileNotFoundError:
+        print(f"error: {stem}_block0.npz not found", file=sys.stderr)
+        return 2
     n0 = b0["c"].shape[0]
     if b0["A"].shape[1] != n0:
         err(f"block0: A has {b0['A'].shape[1]} cols, expected n0={n0}")
@@ -151,6 +157,10 @@ def check_blocks(stem: str, n_blocks=None) -> int:
     for name in ("iclow", "icupp", "ixlow", "ixupp"):
         check_masks(name, "block0", b0[name])
     check_bounds("block0", b0)
+    for key in ("c", "A", "b", "C", "F0", "G0", "clow", "cupp",
+                "xlow", "xupp"):
+        if key in b0 and not np.all(np.isfinite(b0[key])):
+            err(f"block0: non-finite entries in {key}")
 
     for i in range(1, N + 1):
         try:
@@ -171,8 +181,9 @@ def check_blocks(stem: str, n_blocks=None) -> int:
         for name in ("iclow", "icupp", "ixlow", "ixupp"):
             check_masks(name, tag, bf[name])
         check_bounds(tag, bf)
-        for key in ("c", "A", "B", "b", "C", "D"):
-            if not np.all(np.isfinite(bf[key])):
+        for key in ("c", "A", "B", "b", "C", "D", "F", "G",
+                    "clow", "cupp", "xlow", "xupp"):
+            if key in bf and not np.all(np.isfinite(bf[key])):
                 err(f"{tag}: non-finite entries in {key}")
 
     if problems:

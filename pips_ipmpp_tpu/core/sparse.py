@@ -62,28 +62,39 @@ def _ell_fill(rows, cols, vals, m, K, dtype):
     return val, col
 
 
-def ell_from_triplets(rows, cols, vals, m, n, N_batch=None,
+def ell_from_triplets(rows, cols, vals, m, n,
                       K: int | None = None) -> Ell:
     """Build ELL from per-batch triplet lists (host-side).
 
     `rows`/`cols`/`vals` are length-N lists of 1-D arrays (one per block).
-    Duplicate (row, col) entries are kept as separate slots (they sum in
-    products, matching COO semantics)."""
+    Duplicate (row, col) entries are COMBINED (summed) at construction —
+    ell_sq_diag assumes column ids are unique within each row.  Column
+    ids are validated against `n`."""
     N = len(rows)
+    combined = []
+    for i in range(N):
+        r = np.asarray(rows[i], np.int64)
+        c = np.asarray(cols[i], np.int64)
+        v = np.asarray(vals[i], np.float64)
+        if len(c) and (c.min() < 0 or c.max() >= n):
+            raise ValueError(
+                f"block {i}: column id out of range [0, {n})")
+        if len(r) and (r.min() < 0 or r.max() >= m):
+            raise ValueError(f"block {i}: row id out of range [0, {m})")
+        key = r * n + c
+        uk, inv = np.unique(key, return_inverse=True)
+        sv = np.zeros(len(uk), v.dtype)
+        np.add.at(sv, inv, v)
+        combined.append((uk // n, uk % n, sv))
     if K is None:
         K = 1
-        for r in rows:
+        for r, _, _ in combined:
             if len(r):
                 K = max(K, int(np.bincount(r, minlength=m).max()))
-    val = np.zeros((N, m, K), np.asarray(vals[0]).dtype if len(vals) else
-                   np.float64)
+    val = np.zeros((N, m, K), np.float64)
     col = np.zeros((N, m, K), np.int32)
-    for i in range(N):
-        r = np.asarray(rows[i])
-        order = np.argsort(r, kind="stable")
-        val[i], col[i] = _ell_fill(r[order], np.asarray(cols[i])[order],
-                                   np.asarray(vals[i])[order], m, K,
-                                   val.dtype)
+    for i, (r, c, v) in enumerate(combined):
+        val[i], col[i] = _ell_fill(r, c, v, m, K, val.dtype)
     return Ell(jnp.asarray(val), jnp.asarray(col))
 
 
@@ -155,7 +166,12 @@ def ell_mv_multi(ell: Ell, X: jax.Array) -> jax.Array:
 
 
 def ell_sq_diag(ell: Ell, w: jax.Array) -> jax.Array:
-    """diag of (M W M') per row: sum_k val^2 * w[col];  w: [N, n] -> [N, m]."""
+    """diag of (M W M') per row: sum_k val^2 * w[col];  w: [N, n] -> [N, m].
+
+    Exact only when column ids are unique within each row (duplicate
+    slots would need the 2*v1*v2*w cross terms); construction paths
+    (ell_from_triplets, ell_from_dense, the synthetic generator) all
+    guarantee uniqueness."""
     N, m, K = ell.val.shape
     g = jnp.take_along_axis(w, ell.col.reshape(N, m * K), axis=1)
     return jnp.sum(ell.val ** 2 * g.reshape(N, m, K), axis=2)
@@ -282,7 +298,7 @@ class SparseArrowheadLP:
                   self.xlowN * self.ixlowN, self.xuppN * self.ixuppN,
                   self.clowl * self.iclowl, self.cuppl * self.icuppl]
         return jnp.max(jnp.stack(
-            [jnp.max(jnp.abs(l)) if l.size else jnp.zeros(l.dtype)
+            [jnp.max(jnp.abs(l)) if l.size else jnp.zeros((), l.dtype)
              for l in leaves]))
 
 

@@ -173,11 +173,21 @@ def random_sparse_arrowhead_lp(seed, N=4, n=4096, mE=2048, mI=2048,
     K = nnz_per_row
 
     def rand_ell(m, diag: bool):
-        col = rng.integers(0, n, size=(N, m, K)).astype(np.int32)
+        # distinct column ids per row (slot k draws from its own stripe
+        # of [0, n)): ell_sq_diag and products assume no duplicate slots
+        stripe = n // K
+        base = (np.arange(K) * stripe)[None, None, :]
+        col = (base + rng.integers(0, stripe, size=(N, m, K))
+               ).astype(np.int32)
         val = rng.normal(size=(N, m, K)) * (0.4 / np.sqrt(K))
         if diag:
-            col[:, :, 0] = (np.arange(m) % n)[None, :]
-            val[:, :, 0] = 1.0 + 0.1 * rng.random((N, m))
+            # put the strong diagonal id into the slot whose stripe
+            # contains it (one slot per stripe keeps ids unique)
+            d = (np.arange(m) % n).astype(np.int32)
+            owner = np.minimum(d // stripe, K - 1)
+            ridx = np.arange(m)
+            col[:, ridx, owner] = d[None, :]
+            val[:, ridx, owner] = 1.0 + 0.1 * rng.random((N, m))
         return Ell(jnp.asarray(val), jnp.asarray(col))
 
     B = rand_ell(mE, diag=True)

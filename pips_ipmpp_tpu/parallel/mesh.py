@@ -23,30 +23,39 @@ from pips_ipmpp_tpu.core.spaces import RVec, XVec
 
 BLOCK_AXIS = "blocks"
 
-# per-block (leading batch axis) fields of ArrowheadLP
+# per-block (leading batch axis) fields of ArrowheadLP /
+# SparseArrowheadLP (whose B/D/Bt/Dt are Ell pytrees with batched leaves)
 _BLOCK_FIELDS = frozenset({
     "cN", "A", "B", "bN", "C", "D", "iclowN", "clowN", "icuppN", "cuppN",
-    "ixlowN", "xlowN", "ixuppN", "xuppN", "F", "G",
+    "ixlowN", "xlowN", "ixuppN", "xuppN", "F", "G", "Bt", "Dt",
 })
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = BLOCK_AXIS) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available (a silently smaller "
+                f"mesh would invalidate scaling comparisons)")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
 
-def lp_pspecs(lp: ArrowheadLP, axis: str = BLOCK_AXIS) -> ArrowheadLP:
-    """PartitionSpec pytree matching ArrowheadLP: block axis sharded."""
+def lp_pspecs(lp: ArrowheadLP, axis: str = BLOCK_AXIS):
+    """PartitionSpec pytree matching the LP: block axis sharded.
+
+    Fields may themselves be pytrees (the sparse LP's Ell storage):
+    every leaf of a block field shards its leading (batch) axis."""
     specs = {}
     for f in dataclasses.fields(lp):
         v = getattr(lp, f.name)
-        if f.name in _BLOCK_FIELDS:
-            specs[f.name] = P(axis, *([None] * (v.ndim - 1)))
-        else:
-            specs[f.name] = P(*([None] * v.ndim))
-    return ArrowheadLP(**specs)
+        sharded = f.name in _BLOCK_FIELDS
+        specs[f.name] = jax.tree.map(
+            lambda l: (P(axis, *([None] * (np.ndim(l) - 1))) if sharded
+                       else P(*([None] * np.ndim(l)))), v)
+    return type(lp)(**specs)
 
 
 def space_pspec(template, axis: str = BLOCK_AXIS):

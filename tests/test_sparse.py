@@ -135,3 +135,22 @@ def test_sparse_astype_preserves_int_cols(small_pair):
     assert s32.B.col.dtype == jnp.int32
     assert s32.B.val.dtype == jnp.float32
     assert s32.cN.dtype == jnp.float32
+
+
+def test_sparse_lp_shards_over_mesh():
+    """SparseArrowheadLP (Ell pytree fields) shards over the mesh and the
+    GSPMD sparse solve matches single-device (the spec builder used to
+    crash on Ell fields and mis-replicate Bt/Dt)."""
+    from functools import partial
+    from pips_ipmpp_tpu.parallel.mesh import make_mesh, shard_arrowhead_lp
+    lp = random_sparse_arrowhead_lp(0, N=8, n=64, mE=24, mI=24,
+                                    nnz_per_row=4, dtype=jnp.float64)
+    ref = IPMSolver(partial(SparseArrowBackend,
+                            factor_dtype=jnp.float64)).solve(lp)
+    slp = shard_arrowhead_lp(lp, make_mesh(8))
+    res = IPMSolver(partial(SparseArrowBackend,
+                            factor_dtype=jnp.float64)).solve(slp)
+    assert res.status == ref.status
+    assert res.iterations == ref.iterations
+    np.testing.assert_allclose(float(res.objective), float(ref.objective),
+                               rtol=1e-10)
