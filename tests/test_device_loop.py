@@ -19,7 +19,9 @@ def test_fused_matches_host_loop_arrow(seed):
     fused = solver.solve_fused(lp)
     assert fused.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(fused.objective - host.objective) < 1e-8
-    assert abs(fused.iterations - host.iterations) <= 1
+    # both loops count completed IPM STEPS (retry/terminal turns do not
+    # count) — must agree exactly
+    assert fused.iterations == host.iterations
     assert len(fused.history) == fused.iterations
     assert fused.history[0].mu > fused.history[-1].mu
 
