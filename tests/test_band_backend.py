@@ -188,3 +188,27 @@ def test_dense_row_peeling():
     assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
     np.testing.assert_allclose(float(r_band.objective),
                                float(r_dense.objective), rtol=1e-7)
+
+
+def test_band_backends_compose_with_fused_loop():
+    """The fully on-device solve loop works with the banded leaf and the
+    banded root (static plans close over the jitted program)."""
+    from pips_ipmpp_tpu.io.synthetic import klink_arrowhead_lp
+    from pips_ipmpp_tpu.linalg.band_root import plan_banded_root
+
+    lp = banded_arrowhead_lp(0, N=4, n=96, mE=48, mI=48, window=6,
+                             dtype=jnp.float64)
+    plan = plan_banded(lp)
+    s = IPMSolver(partial(BandArrowBackend, plan=plan,
+                          factor_dtype=jnp.float64))
+    host = s.solve(lp)
+    fused = s.solve_fused(lp)
+    assert fused.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert fused.iterations == host.iterations
+
+    lp2 = klink_arrowhead_lp(1, N=8, links_per_block=2, klink=2,
+                             dtype=jnp.float64)
+    f2 = IPMSolver(partial(ArrowBackend,
+                           band_root_plan=plan_banded_root(lp2),
+                           factor_dtype=jnp.float64)).solve_fused(lp2)
+    assert f2.status == TerminationStatus.SUCCESSFUL_TERMINATION
