@@ -35,8 +35,12 @@ _INF = jnp.inf
 
 
 def _pow2_round(v):
-    """Round positive factors to the nearest power of two (exact scaling)."""
-    return jnp.exp2(jnp.round(jnp.log2(v)))
+    """Round positive factors to the nearest power of two (exact scaling).
+
+    ldexp, not exp2: XLA lowers exp2(x) as exp(x*ln2), which is off by an
+    ulp for integer x and silently breaks the exact-unscaling guarantee."""
+    return jnp.ldexp(jnp.ones_like(v),
+                     jnp.round(jnp.log2(v)).astype(jnp.int32))
 
 
 def _safe(v):
@@ -482,10 +486,17 @@ class CurtisReidScaler(_ScalerBase):
             return sum(jnp.vdot(x, y) for x, y in
                        zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
+        # K is positive SEMI-definite (the constant row-shift/col-shift
+        # direction is a null space), so CG iterates can drift along null
+        # directions once rounding mixes them in: keep the iterate with
+        # the BEST residual, and clamp the final log2 factors — a scaling
+        # must never be able to destroy the problem (reference MC30/CR
+        # implementations clamp the same way)
         u = tmap(jnp.zeros_like, rhs)
         r = rhs
         p = r
         rs = dot(r, r)
+        best_u, best_rs = u, rs
         for _ in range(self.cg_iters):
             Kp = Kmul(p)
             denom = dot(p, Kp)
@@ -493,14 +504,22 @@ class CurtisReidScaler(_ScalerBase):
             u = tmap(lambda uu, pp: uu + alpha * pp, u, p)
             r = tmap(lambda rr, kp: rr - alpha * kp, r, Kp)
             rs_new = dot(r, r)
+            improved = rs_new < best_rs
+            best_u = jax.tree.map(
+                lambda b, c: jnp.where(improved, c, b), best_u, u)
+            best_rs = jnp.where(improved, rs_new, best_rs)
             beta = rs_new / jnp.maximum(rs, 1e-300)
             p = tmap(lambda rr, pp: rr + beta * pp, r, p)
             rs = rs_new
 
-        rhoE, rhoC, gamma = u
-        rE = tmap(lambda v: jnp.exp2(jnp.round(v)), rhoE)
-        rC = tmap(lambda v: jnp.exp2(jnp.round(v)), rhoC)
-        s = tmap(lambda v: jnp.exp2(jnp.round(v)), gamma)
+        rhoE, rhoC, gamma = best_u
+        CLAMP = 30.0   # factors within 2^+-30
+        f = lambda v: jnp.ldexp(
+            jnp.ones_like(v),
+            jnp.clip(jnp.round(v), -CLAMP, CLAMP).astype(jnp.int32))
+        rE = tmap(f, rhoE)
+        rC = tmap(f, rhoC)
+        s = tmap(f, gamma)
         return s, rE, rC
 
 

@@ -157,3 +157,26 @@ def test_make_arrowhead_lp_validation():
     bad["iclow"] = np.zeros(1)        # row with NO side
     with pytest.raises(ValueError, match="neither"):
         make_arrowhead_lp([bad], first)
+
+
+def test_curtis_reid_stays_bounded_on_singular_system():
+    """Fuzz-found: CG on the (semi-definite) Curtis-Reid normal equations
+    can drift along the null space, producing 2^±700 factors that made a
+    feasible LP read INFEASIBLE.  Factors must stay clamped and the solve
+    must succeed."""
+    from pips_ipmpp_tpu.core.options import Options
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    lp = random_arrowhead_lp(575371960, N=4, n=10, mE=4, mI=2, n0=3,
+                             m0E=2, m0I=2, mEl=1, mIl=1)
+    sc = make_scaler(ScalerType.CURTIS_REID)
+    sc.scale(lp)
+    for vec in (sc.s, sc.rE, sc.rC):
+        for leaf in jax.tree.leaves(vec):
+            a = np.asarray(leaf)
+            if a.size:
+                assert a.max() <= 2.0 ** 31 and a.min() >= 2.0 ** -31
+                # exact powers of two (ldexp, not exp2)
+                assert np.all(a == np.exp2(np.round(np.log2(a))))
+    iface = PIPSIPMppTPUInterface(lp, Options(scaler=ScalerType.CURTIS_REID))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
