@@ -214,7 +214,8 @@ class ArrowBackend:
                  it_root_tol: float = 1e-9,
                  it_root_maxiter: int = 200,
                  band_root_plan=None,
-                 factored_inverse: bool = False):
+                 factored_inverse: bool = False,
+                 sweep_kernel: Optional[bool] = None):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -233,6 +234,17 @@ class ArrowBackend:
             ldl_kernel = (jnp.dtype(factor_dtype) == jnp.float32
                           and self.explicit_inverse)
         self.ldl_kernel = ldl_kernel
+        # sweep kernel (pallas_sweep.py): blocked symmetric Gauss-Jordan
+        # producing the explicit inverse in ONE kernel — replaces LDL
+        # kernel + X'D^-1 X einsum on both the leaf and root factors.
+        # Half the sequential pivot chain (2x2 block pivots), no phase-2
+        # forward substitution, no einsum.  Defaults on wherever the LDL
+        # kernel would be used (except factored_inverse, which needs the
+        # (X, d) factors).
+        if sweep_kernel is None:
+            sweep_kernel = ldl_kernel and not factored_inverse
+        self.sweep_kernel = sweep_kernel and ldl_kernel \
+            and not factored_inverse
         # factored-inverse leaf: keep (X = L^{-1}, d) from the LDL kernel
         # and apply Neq^{-1} t = X' D^{-1} (X t) as two batched matmuls
         # instead of materializing Ninv = X' D^{-1} X — drops one full
@@ -366,6 +378,13 @@ class ArrowBackend:
         a = M.shape[1]
         Neq = (jnp.einsum("iak,ibk->iab", MEi.astype(fd), M.astype(fd))
                + jax.vmap(jnp.diag)(Fd.astype(fd)))
+        if self.sweep_kernel:
+            # one-kernel explicit inverse (blocked symmetric sweep)
+            from pips_ipmpp_tpu.linalg.pallas_sweep import sweep_inverse
+            Ninv, df = sweep_inverse(Neq)
+            L = jnp.zeros((), fd)
+            leaf_ok = jnp.all(jnp.isfinite(Ninv)) & jnp.all(df > 0.0)
+            return L, Ninv, leaf_ok
         if self.ldl_kernel:
             # fused batched LDL^T + unit-lower inverse (pallas_ldl kernel);
             # one VMEM-resident pass replaces cholesky + 2 triangular solves
@@ -627,16 +646,22 @@ class ArrowBackend:
             # negative-definite dual block -> unpivoted LDL is stable
             # (Vanderbei); the explicit inverse turns every root solve into
             # one matvec.
-            from pips_ipmpp_tpu.linalg.pallas_ldl import ldl_inverse_factors
             ns = n0 + nD
             Sfull = jnp.zeros((ns, ns), fd)
             Sfull = Sfull.at[:n0, :n0].set(S11.astype(fd))
             Sfull = Sfull.at[:n0, n0:].set(S12.astype(fd))
             Sfull = Sfull.at[n0:, :n0].set(S12.T.astype(fd))
             Sfull = Sfull.at[n0:, n0:].set(S22.astype(fd))
-            Xs, ds = ldl_inverse_factors(Sfull[None])
-            Sinv = jnp.einsum("ica,ic,icb->iab", Xs, 1.0 / ds, Xs,
-                              precision=jax.lax.Precision.HIGHEST)[0]
+            if self.sweep_kernel:
+                from pips_ipmpp_tpu.linalg.pallas_sweep import sweep_inverse
+                Sinv1, ds = sweep_inverse(Sfull[None])
+                Sinv = Sinv1[0]
+            else:
+                from pips_ipmpp_tpu.linalg.pallas_ldl import (
+                    ldl_inverse_factors)
+                Xs, ds = ldl_inverse_factors(Sfull[None])
+                Sinv = jnp.einsum("ica,ic,icb->iab", Xs, 1.0 / ds, Xs,
+                                  precision=jax.lax.Precision.HIGHEST)[0]
             root_ok = (jnp.all(jnp.isfinite(Sinv))
                        & jnp.all(ds[:, :n0] > 0.0)
                        & jnp.all(ds[:, n0:] < 0.0))

@@ -223,6 +223,7 @@ class BandArrowBackend(ArrowBackend):
         super().__init__(lp, **kw)
         # the band path owns the leaf; disable the dense leaf kernels
         self.ldl_kernel = False
+        self.sweep_kernel = False
         self.pallas_chol = False
         self.explicit_inverse = False
         self.plan = plan
