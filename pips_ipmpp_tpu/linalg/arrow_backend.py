@@ -235,14 +235,15 @@ class ArrowBackend:
                           and self.explicit_inverse)
         self.ldl_kernel = ldl_kernel
         # sweep kernel (pallas_sweep.py): blocked symmetric Gauss-Jordan
-        # producing the explicit inverse in ONE kernel — replaces LDL
-        # kernel + X'D^-1 X einsum on both the leaf and root factors.
-        # Half the sequential pivot chain (2x2 block pivots), no phase-2
-        # forward substitution, no einsum.  Defaults on wherever the LDL
-        # kernel would be used (except factored_inverse, which needs the
-        # (X, d) factors).
+        # producing the explicit inverse in ONE kernel.  EXPERIMENTAL and
+        # OFF by default: unpivoted Gauss-Jordan has no backward-stability
+        # guarantee, and IPM barrier diagonals are ill-conditioned by
+        # design (complementarity spread grows as mu -> 0) — measured
+        # inverse error is O(1) at cond 1e12 even in f64, which turns the
+        # solve INFEASIBLE/NaN.  The LDL kernel (Cholesky-stable on the
+        # quasidefinite system) is the production path.
         if sweep_kernel is None:
-            sweep_kernel = ldl_kernel and not factored_inverse
+            sweep_kernel = False
         self.sweep_kernel = sweep_kernel and ldl_kernel \
             and not factored_inverse
         # factored-inverse leaf: keep (X = L^{-1}, d) from the LDL kernel

@@ -7,9 +7,17 @@ PARDISO's factor+solve per block in the reference,
 PardisoProjectSchurSolver.C:239-252, under the explicit-inverse design of
 `ArrowBackend`).
 
-Why it beats the LDL kernel on TPU: the sequential pivot chain is the cost
-(per-step vector-op issue overhead dominates; the MXU work is tiny), and
-the sweep formulation attacks it three ways —
+**EXPERIMENTAL — numerically unsuitable for the IPM path, kept for
+reference.** Unpivoted Gauss-Jordan has no backward-stability guarantee;
+on matrices with IPM-like diagonal spread (cond ~1e12, routine as mu -> 0)
+the measured inverse error is O(1) even in f64, whereas unpivoted LDL on
+the quasidefinite KKT system is Cholesky-stable (Vanderbei).  Do NOT
+enable by default; `ArrowBackend(sweep_kernel=True)` is opt-in for
+well-conditioned workloads only.
+
+Why it would beat the LDL kernel on TPU: the sequential pivot chain is the
+cost (per-step vector-op issue overhead dominates; the MXU work is tiny),
+and the sweep formulation attacks it three ways —
 
   * 2x2 block pivots: half the sequential steps of scalar-pivot LDL.
     Quasidefinite matrices keep every principal 2x2 pivot block

@@ -1,5 +1,8 @@
-"""Tests for the blocked symmetric sweep inverse kernel (pallas_sweep.py)
-and its integration as the default leaf/root factor path.
+"""Tests for the blocked symmetric sweep inverse kernel (pallas_sweep.py).
+
+The kernel is EXPERIMENTAL and opt-in only: unpivoted Gauss-Jordan is
+unstable on IPM-conditioned matrices (see test_sweep_unstable_on_ipm_
+conditioning and test_sweep_kernel_defaults_off, which pin that down).
 
 Runs in Pallas interpret mode on the CPU test mesh; the same code lowers
 to Mosaic on TPU.
@@ -83,3 +86,34 @@ def test_backend_sweep_solves_lp():
     res = solver.solve(lp)
     assert res.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(float(res.objective) - obj_star) < 1e-3 * (1.0 + abs(obj_star))
+
+
+def test_sweep_kernel_defaults_off():
+    """Regression (round-2 BENCH/MULTICHIP failure): the sweep kernel must
+    never be the default factor path — it turned the flagship solve
+    INFEASIBLE/NaN because unpivoted Gauss-Jordan collapses on the
+    ill-conditioned systems the IPM generates as mu -> 0."""
+    from __graft_entry__ import _make_lp
+    from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+
+    lp = _make_lp(jnp.float32, N=4, n=8, mE=4, mI=4, n0=4, m0E=2, m0I=2,
+                  mEl=2, mIl=2)
+    be = ArrowBackend(lp, factor_dtype=jnp.float32)
+    assert not be.sweep_kernel
+
+
+def test_sweep_unstable_on_ipm_conditioning():
+    """Documents WHY the sweep kernel is opt-in: at diagonal spread
+    1e-6..1e6 (routine for barrier terms late in the IPM) the explicit
+    inverse is garbage (O(1) relative error even in f64; in f32 the
+    pivots can even stay positive while the error reaches 1e14, so the
+    leaf_ok health checks cannot reliably rescue it)."""
+    rng = np.random.default_rng(7)
+    a = 24
+    D = 10.0 ** rng.uniform(-6, 6, size=(2, a))
+    Q = np.linalg.qr(rng.standard_normal((2, a, a)))[0]
+    A = jnp.asarray(np.einsum("bij,bj,bkj->bik", Q, D, Q), jnp.float64)
+    Ainv, _ = sweep_inverse(A, interpret=True)
+    ref = np.linalg.inv(np.asarray(A))
+    err = np.max(np.abs(np.asarray(Ainv) - ref)) / (1 + np.max(np.abs(ref)))
+    assert err > 1e-2  # the inverse is unusable on SPD input
