@@ -76,11 +76,11 @@ def solve_on_device(be_ctor, opts: Options, lp):
                 be.objective(it.x))
 
     def cond(carry):
-        it, k, rstate, attempt, status, best_mu, stall, hist = carry
+        it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
         return (status == RUNNING) & (k < max_it)
 
     def body(carry):
-        it, k, rstate, attempt, status, best_mu, stall, hist = carry
+        it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
         mu_v, res_v, obj_v = eval_all(it)
         # a retry turn re-evaluates the UNCHANGED iterate after a failed
         # factorization: it must not advance the stall detector
@@ -152,20 +152,24 @@ def solve_on_device(be_ctor, opts: Options, lp):
                 stats.alpha_primal, mode="drop"),
             alpha_dual=hist.alpha_dual.at[row].set(
                 stats.alpha_dual, mode="drop"))
-        return (it2, k + stepped.astype(k.dtype), rstate2, attempt2,
-                new_status, best_mu, stall, hist)
+        return (it2, k + stepped.astype(k.dtype), turns + 1, rstate2,
+                attempt2, new_status, best_mu, stall, hist)
 
-    init = (it0, jnp.zeros((), jnp.int32), rstate0,
-            jnp.zeros((), jnp.int32),
+    init = (it0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            rstate0, jnp.zeros((), jnp.int32),
             jnp.asarray(RUNNING, jnp.int32),
             jnp.asarray(jnp.inf, datanorm.dtype),
             jnp.zeros((), jnp.int32), hist0)
-    it, k, rstate, _, status, _, _, hist = jax.lax.while_loop(
+    it, k, turns, rstate, _, status, _, _, hist = jax.lax.while_loop(
         cond, body, init)
     dp, dd = strat.deltas(rstate)
     mu_f, res_f, obj_f = eval_all(it)
-    info = dict(status=status, iterations=k, mu=mu_f, residual_norm=res_f,
-                objective=obj_f, history=hist, delta_p=dp, delta_d=dd)
+    # `turns` = while-loop body executions: iterations + factorization
+    # retries + the terminal evaluation turn.  turns - iterations - 1 is
+    # the wasted-work count (each retry re-runs the full iteration body).
+    info = dict(status=status, iterations=k, turns=turns, mu=mu_f,
+                residual_norm=res_f, objective=obj_f, history=hist,
+                delta_p=dp, delta_d=dd)
     return it, info
 
 

@@ -33,21 +33,36 @@ class GrowthLadder:
     factorize_with_correct_inertia loop, LinearSystem.C:296-325)."""
 
     def __init__(self, base_p: float = 1e-10, base_d: float = 1e-10,
-                 growth: float = 100.0, max_delta: float = 1e2):
+                 growth: float = 100.0, max_delta: float = 1e2,
+                 f32_jump_floor: float = 1e-2):
         self.base_p, self.base_d = base_p, base_d
         self.growth = growth
         self.max_delta = max_delta
+        # In f32, the condensation loses quasidefiniteness whenever the
+        # deltas are orders of magnitude below the f32 roundoff scale of
+        # the (equilibrated) KKT diagonals — growth rungs below ~1e-4
+        # NEVER rescue a failed f32 factorization, and every wasted rung
+        # costs a full re-factorization turn (measured on the flagship
+        # bench: 3 rungs burned on the first failure event, and the
+        # first sufficient level was ~1e-2).  On failure the first
+        # escalation therefore jumps straight to f32_jump_floor in f32;
+        # f64 states keep the exact gentle ladder (its small rungs do
+        # rescue f64 failures, e.g. structurally singular golden LPs).
+        self.f32_jump_floor = f32_jump_floor
 
     def init_state(self, dtype):
         z = jnp.zeros((), dtype)
-        return (z + self.base_p, z + self.base_d, z)
+        floor = (self.f32_jump_floor
+                 if jnp.dtype(dtype) == jnp.float32 else 0.0)
+        return (z + self.base_p, z + self.base_d, z + floor)
 
     def new_step(self, state):
         return state  # sticky: keep the escalated level
 
     def on_failure(self, state, mu, attempt):
-        dp, dd, aux = state
-        return (dp * self.growth + 1e-12, dd * self.growth + 1e-12, aux)
+        dp, dd, floor = state
+        return (jnp.maximum(dp * self.growth, floor) + 1e-12,
+                jnp.maximum(dd * self.growth, floor) + 1e-12, floor)
 
     def deltas(self, state):
         return state[0], state[1]

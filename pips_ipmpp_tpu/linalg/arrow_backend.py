@@ -80,6 +80,10 @@ class ArrowFactors:
     RbG: jax.Array = ()  # [nb, 1, b, b] banded-root panel inverses
                         # (linalg/band_root.py, 2-link SC exploitation) or ()
     RbC: jax.Array = ()  # [nb, 1, b, b] banded-root sub-diagonal factors
+    extra_root: jax.Array = 0.0  # extra root-only regularization applied by
+                        # the in-factorize escalation (scalar; the root
+                        # system carries delta_p + extra_root on its primal
+                        # diagonal and delta_d + extra_root on its dual rows)
 
 
 def _bchol_solve(L, b):
@@ -215,7 +219,11 @@ class ArrowBackend:
                  it_root_maxiter: int = 200,
                  band_root_plan=None,
                  factored_inverse: bool = False,
-                 sweep_kernel: Optional[bool] = None):
+                 sweep_kernel: Optional[bool] = None,
+                 root_escalation: bool = True,
+                 root_escalation_base: float = 1e-4,
+                 root_escalation_growth: float = 100.0,
+                 root_escalation_max: float = 10.0):
         self.lp = lp
         self.axis = axis
         self.factor_dtype = factor_dtype
@@ -253,6 +261,13 @@ class ArrowBackend:
         # of one extra [a, a] x [a, c] per multi-RHS solve (a win when
         # the border count nS < a/2)
         self.factored_inverse = factored_inverse and ldl_kernel
+        # in-factorize ROOT-ONLY shift escalation (see _assemble_root):
+        # retries the tiny root factor with growing extra shifts instead of
+        # reporting failure to the outer loop (which would redo the leaves)
+        self.root_escalation = root_escalation
+        self.root_escalation_base = root_escalation_base
+        self.root_escalation_growth = root_escalation_growth
+        self.root_escalation_max = root_escalation_max
         # distributed root: column-shard the dual Schur complement over the
         # mesh axis and factorize it with the panel-blocked distributed
         # Cholesky (linalg/dist_root.py) — the linking dimension is no
@@ -653,19 +668,59 @@ class ArrowBackend:
             Sfull = Sfull.at[:n0, n0:].set(S12.astype(fd))
             Sfull = Sfull.at[n0:, :n0].set(S12.T.astype(fd))
             Sfull = Sfull.at[n0:, n0:].set(S22.astype(fd))
-            if self.sweep_kernel:
-                from pips_ipmpp_tpu.linalg.pallas_sweep import sweep_inverse
-                Sinv1, ds = sweep_inverse(Sfull[None])
-                Sinv = Sinv1[0]
-            else:
-                from pips_ipmpp_tpu.linalg.pallas_ldl import (
-                    ldl_inverse_factors)
-                Xs, ds = ldl_inverse_factors(Sfull[None])
-                Sinv = jnp.einsum("ica,ic,icb->iab", Xs, 1.0 / ds, Xs,
-                                  precision=jax.lax.Precision.HIGHEST)[0]
-            root_ok = (jnp.all(jnp.isfinite(Sinv))
+            sgn = jnp.concatenate([jnp.ones((n0,), fd),
+                                   -jnp.ones((nD,), fd)])
+
+            def _root_factor(extra):
+                S = Sfull + jnp.diag(sgn * extra)
+                if self.sweep_kernel:
+                    from pips_ipmpp_tpu.linalg.pallas_sweep import (
+                        sweep_inverse)
+                    Sinv1, ds = sweep_inverse(S[None])
+                    Sinv_ = Sinv1[0]
+                else:
+                    from pips_ipmpp_tpu.linalg.pallas_ldl import (
+                        ldl_inverse_factors)
+                    Xs, ds = ldl_inverse_factors(S[None])
+                    Sinv_ = jnp.einsum(
+                        "ica,ic,icb->iab", Xs, 1.0 / ds, Xs,
+                        precision=jax.lax.Precision.HIGHEST)[0]
+                ok_ = (jnp.all(jnp.isfinite(Sinv_))
                        & jnp.all(ds[:, :n0] > 0.0)
                        & jnp.all(ds[:, n0:] < 0.0))
+                return Sinv_, ok_
+
+            Sinv, root_ok = _root_factor(jnp.zeros((), fd))
+            extra = jnp.zeros((), fd)
+            # the sweep kernel's pivots are not reliable health signals
+            # (see pallas_sweep.py) — keep its failures on the outer ladder
+            if self.root_escalation and not self.sweep_kernel:
+                # Wrong-inertia failures in f32 are (empirically) always
+                # in THIS tiny root system, never the leaves: escalate
+                # only the root shift in place instead of failing the
+                # whole factorization — an outer-loop retry would redo
+                # every leaf factorization (~64x the root's FLOPs) just
+                # to rebuild this [ns, ns] factor.  Zero extra cost on
+                # healthy turns (the while_loop exits immediately).
+                def _cond(c):
+                    ex, _, ok_ = c
+                    return (~ok_) & (ex < self.root_escalation_max)
+
+                def _body(c):
+                    ex, _, _ = c
+                    ex2 = jnp.where(
+                        ex == 0.0, self.root_escalation_base,
+                        ex * self.root_escalation_growth).astype(fd)
+                    Sinv2, ok2 = _root_factor(ex2)
+                    return ex2, Sinv2, ok2
+
+                extra, Sinv, root_ok = jax.lax.while_loop(
+                    _cond, _body, (extra, Sinv, root_ok))
+                # the solved system now carries delta_p + extra on the
+                # first-stage primal diagonal and delta_d + extra on the
+                # root dual rows; Einv0/extra_root keep the refinement
+                # residual (_aug_residual) consistent with it
+                Einv0 = 1.0 / (Dx.first + delta_p + extra.astype(dt))
             z = jnp.zeros((), fd)
             return ArrowFactors(L=L, Ninv=Ninv, Einv=Einv, Om=Om, Ux=Ux,
                                 Um=Um, chol1=z, S11inv=z, T=z, chol2=z,
@@ -673,7 +728,8 @@ class ArrowBackend:
                                 delta_p=jnp.asarray(delta_p, Einv.dtype),
                                 delta_d=jnp.asarray(delta_d, Einv.dtype),
                                 Sinv=Sinv, ok=leaf_ok & root_ok,
-                                Wd=jnp.zeros((), fd))
+                                Wd=jnp.zeros((), fd),
+                                extra_root=extra.astype(Einv.dtype))
 
         # ---- root two-level condensation ----
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
@@ -1037,6 +1093,9 @@ class ArrowBackend:
         n0, m0E, m0I, mEl, mIl = lp.n0, lp.m0E, lp.m0I, lp.mEl, lp.mIl
         mE, mI = lp.mE, lp.mI
         dp, dd = fac.delta_p, fac.delta_d
+        # root rows carry the extra in-factorize escalation shift (the
+        # leaves stay at dd); E0 = 1/Einv0 already embeds dp + extra
+        dd_root = dd + fac.extra_root
 
         y0h, z0h = d0[:m0E], d0[m0E:m0E + m0I]
         ylh, zlh = (d0[m0E + m0I:m0E + m0I + mEl], d0[m0E + m0I + mEl:])
@@ -1055,12 +1114,12 @@ class ArrowBackend:
         Eb = 1.0 / fac.Einv
         top_first = E0 * dx_first + ATyh.first + CTzh.first
         top_blocks = Eb * dx_blocks + ATyh.blocks + CTzh.blocks
-        eq_first = Ax.first - dd * y0h
+        eq_first = Ax.first - dd_root * y0h
         eq_blocks = Ax.blocks - dd * yih
-        eq_link = Ax.link - dd * ylh
-        iq_first = Cx.first - (fac.Om0 + dd) * z0h
+        eq_link = Ax.link - dd_root * ylh
+        iq_first = Cx.first - (fac.Om0 + dd_root) * z0h
         iq_blocks = Cx.blocks - (fac.Om + dd) * zih
-        iq_link = Cx.link - (fac.Oml + dd) * zlh
+        iq_link = Cx.link - (fac.Oml + dd_root) * zlh
 
         ex0 = p0 - top_first
         ex = rho_x - top_blocks

@@ -142,3 +142,25 @@ def test_heterogeneous_blocks_end_to_end():
     r_arrow = IPMSolver(ArrowBackend, Options()).solve(lp_het)
     assert r_arrow.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(r_arrow.objective - r_dense.objective) < 1e-5
+
+
+def test_root_escalation_inert_when_healthy():
+    """The in-factorize root escalation (reference inertia-correction role,
+    LinearSystem.C:296-325, applied ONLY to the root system) must not
+    perturb a healthy factorization: extra_root stays 0 and the f32
+    kernel-path solve still hits the known optimum."""
+    from functools import partial
+
+    lp, opt = two_scenario_linking_lp(jnp.float32)
+    be = ArrowBackend(lp, factor_dtype=jnp.float32)
+    it = interior_iterate(be, jax.random.PRNGKey(0))
+    fac = jax.jit(lambda l, i: ArrowBackend(
+        l, factor_dtype=jnp.float32).factorize(
+            *F.kkt_diagonals(ArrowBackend(l, factor_dtype=jnp.float32), i),
+            1e-8, 1e-8))(lp, it)
+    assert bool(fac.ok)
+    assert float(fac.extra_root) == 0.0
+    r = IPMSolver(partial(ArrowBackend, factor_dtype=jnp.float32),
+                  Options(refinement_steps=2)).solve(lp)
+    assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r.objective - opt) < 1e-3 * (1.0 + abs(opt))

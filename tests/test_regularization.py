@@ -28,6 +28,22 @@ def test_ladder_schedule():
     assert not bool(s.give_up(st))
 
 
+def test_ladder_f32_jump_floor():
+    """f32 states jump straight to the f32 jump floor (1e-2) on the
+    first failure — growth rungs below it never rescue a failed f32
+    factorization and each wasted rung costs a full re-factorization turn.
+    f64 states keep the exact gentle ladder (its small rungs do rescue
+    f64 failures, e.g. structurally singular golden LPs)."""
+    s = GrowthLadder(1e-10, 1e-10, 100.0)
+    st32 = s.on_failure(s.init_state(jnp.float32), 1e-3, 0)
+    assert s.deltas(st32)[0] == pytest.approx(1e-2, rel=1e-3)
+    # a second failure climbs by the normal growth factor
+    st32b = s.on_failure(st32, 1e-3, 1)
+    assert s.deltas(st32b)[0] == pytest.approx(1.0, rel=1e-3)
+    st64 = s.on_failure(s.init_state(jnp.float64), 1e-3, 0)
+    assert s.deltas(st64)[0] == pytest.approx(1e-8, rel=1e-3)
+
+
 def test_friedlander_orban_schedule():
     s = FriedlanderOrban()
     st = s.init_state(jnp.float64)
