@@ -302,6 +302,74 @@ class SparseArrowheadLP:
              for l in leaves]))
 
 
+def make_sparse_arrowhead_lp(blocks: list, first_stage: dict,
+                             linking_eq: dict | None = None,
+                             linking_ineq: dict | None = None,
+                             dtype=jnp.float64,
+                             K: int | None = None) -> SparseArrowheadLP:
+    """Build a SparseArrowheadLP from per-block dicts WITHOUT densifying
+    the big diagonal blocks: `blocks[i]["B"]` / `["D"]` are
+    `core.csr.CsrMatrix` (dense arrays also accepted and converted).
+    Everything else follows `core.lp.make_arrowhead_lp` conventions —
+    including exact-equivalence padding of heterogeneous blocks (padded
+    eq rows are paired with padded variables: a unit CSR entry pins the
+    padded var to 0 and keeps the condensed diagonal healthy).
+
+    This is the intake path for reference-class sparse instances (energy
+    LPs with 10^4+-row blocks at ~10 nnz/row, SparseStorage.C /
+    PardisoSchurSolver.C:84) where a dense [N, m, n] layout cannot even
+    be materialized.
+    """
+    from pips_ipmpp_tpu.core.csr import CsrMatrix
+    from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
+
+    blocks = [dict(b) for b in blocks]
+    n_max = max(len(b["c"]) for b in blocks)
+    mE_max = max(np.asarray(b["b"]).shape[0] for b in blocks)
+    mI_max = max(np.asarray(b["clow"]).shape[0] for b in blocks)
+
+    def as_csr(M, shape):
+        if isinstance(M, CsrMatrix):
+            if M.shape != shape:
+                raise ValueError(f"CSR block shape {M.shape} != {shape}")
+            return M
+        return CsrMatrix.from_dense(np.asarray(M))
+
+    # pull the sparse diagonals out, pad them in triplet space, and hand
+    # the rest (vectors, dense borders, strips) to the dense builder with
+    # zero-placeholder diagonals
+    trips_B, trips_D = [], []
+    for b in blocks:
+        n_old = len(b["c"])
+        mE_old = np.asarray(b["b"]).shape[0]
+        mI_old = np.asarray(b["clow"]).shape[0]
+        Bc = as_csr(b["B"], (mE_old, n_old))
+        Dc = as_csr(b["D"], (mI_old, n_old))
+        r, c, v = Bc.to_triplets()
+        # pin padded eq row j to padded var j (cf. lp._pad_block)
+        npair = min(mE_max - mE_old, n_max - n_old)
+        pr = np.arange(mE_old, mE_old + npair)
+        pc = np.arange(n_old, n_old + npair)
+        trips_B.append((np.concatenate([r, pr]), np.concatenate([c, pc]),
+                        np.concatenate([v, np.ones(npair)])))
+        trips_D.append(Dc.to_triplets())
+        b["B"] = np.zeros((mE_old, n_old))
+        b["D"] = np.zeros((mI_old, n_old))
+
+    dense = make_arrowhead_lp(blocks, first_stage, linking_eq,
+                              linking_ineq, dtype=dtype)
+    B = ell_from_triplets([t[0] for t in trips_B], [t[1] for t in trips_B],
+                          [t[2] for t in trips_B], mE_max, n_max, K)
+    D = ell_from_triplets([t[0] for t in trips_D], [t[1] for t in trips_D],
+                          [t[2] for t in trips_D], mI_max, n_max, K)
+    B = B.astype(dtype)
+    D = D.astype(dtype)
+    sp = sparse_from_dense(dense, K=1)   # reuse field plumbing
+    import dataclasses as _dc
+    return _dc.replace(sp, B=B, Bt=ell_transpose(B, n_max),
+                       D=D, Dt=ell_transpose(D, n_max))
+
+
 def sparse_from_dense(lp: ArrowheadLP, K: int | None = None
                       ) -> SparseArrowheadLP:
     """Convert a (dense) ArrowheadLP whose B/D blocks are sparse in content

@@ -136,3 +136,97 @@ class InputTree:
         }
         return make_arrowhead_lp(blocks, first, linking_eq, linking_ineq,
                                  dtype=dtype)
+
+    def build_sparse(self, dtype=jnp.float64, K: int | None = None):
+        """Build a SparseArrowheadLP keeping the diagonal blocks B/D in
+        CSR->ELL form end-to-end — never densified (the intake for
+        reference-class sparse instances; the reference's FMAT callbacks
+        deliver CSR, DistributedInputTree.h:13, and SparseStorage keeps
+        them sparse).  Borders (A, C) and linking strips (F, G) stay
+        dense: their minor dimension is the small root/link size."""
+        from pips_ipmpp_tpu.core.csr import CsrMatrix
+        from pips_ipmpp_tpu.core.sparse import make_sparse_arrowhead_lp
+
+        mEl, mIl = self.n_linking_eq, self.n_linking_ineq
+
+        def mat(cb, blk_id, m, n):
+            if cb is None:
+                return np.zeros((m, n))
+            out = cb(blk_id)
+            if isinstance(out, tuple):
+                return csr_to_dense(m, n, *out)
+            out = np.asarray(out, dtype=np.float64)
+            assert out.shape == (m, n), (out.shape, (m, n))
+            return out
+
+        def sparse_mat(cb, blk_id, m, n):
+            if cb is None:
+                return CsrMatrix.from_triplets([], [], [], (m, n))
+            out = cb(blk_id)
+            if isinstance(out, CsrMatrix):
+                return out
+            if isinstance(out, tuple):
+                krow, jcol, vals = out
+                indptr = np.asarray(krow, np.int64)
+                nnz = int(indptr[-1])
+                return CsrMatrix(indptr,
+                                 np.asarray(jcol, np.int32)[:nnz],
+                                 np.asarray(vals, np.float64)[:nnz],
+                                 (m, n))
+            return CsrMatrix.from_dense(np.asarray(out, np.float64))
+
+        r = self.root
+        n0 = r.n_vars(0)
+        m0E, m0I = r.n_eq(0), r.n_ineq(0)
+        first = dict(
+            c=np.asarray(r.vec_c(0), np.float64),
+            A=mat(r.mat_B, 0, m0E, n0),
+            b=np.asarray(r.vec_b(0), np.float64),
+            C=mat(r.mat_D, 0, m0I, n0),
+            iclow=np.asarray(r.vec_iclow(0), np.float64),
+            clow=np.asarray(r.vec_clow(0), np.float64),
+            icupp=np.asarray(r.vec_icupp(0), np.float64),
+            cupp=np.asarray(r.vec_cupp(0), np.float64),
+            ixlow=np.asarray(r.vec_ixlow(0), np.float64),
+            xlow=np.asarray(r.vec_xlow(0), np.float64),
+            ixupp=np.asarray(r.vec_ixupp(0), np.float64),
+            xupp=np.asarray(r.vec_xupp(0), np.float64),
+            F0=mat(r.mat_F, 0, mEl, n0),
+            G0=mat(r.mat_G, 0, mIl, n0),
+        )
+        blocks = []
+        for cb in self.children:
+            i = cb.id
+            ni, mEi, mIi = cb.n_vars(i), cb.n_eq(i), cb.n_ineq(i)
+            blocks.append(dict(
+                c=np.asarray(cb.vec_c(i), np.float64),
+                A=mat(cb.mat_A, i, mEi, n0),
+                B=sparse_mat(cb.mat_B, i, mEi, ni),
+                b=np.asarray(cb.vec_b(i), np.float64),
+                C=mat(cb.mat_C, i, mIi, n0),
+                D=sparse_mat(cb.mat_D, i, mIi, ni),
+                iclow=np.asarray(cb.vec_iclow(i), np.float64),
+                clow=np.asarray(cb.vec_clow(i), np.float64),
+                icupp=np.asarray(cb.vec_icupp(i), np.float64),
+                cupp=np.asarray(cb.vec_cupp(i), np.float64),
+                ixlow=np.asarray(cb.vec_ixlow(i), np.float64),
+                xlow=np.asarray(cb.vec_xlow(i), np.float64),
+                ixupp=np.asarray(cb.vec_ixupp(i), np.float64),
+                xupp=np.asarray(cb.vec_xupp(i), np.float64),
+                F=mat(cb.mat_F, i, mEl, ni),
+                G=mat(cb.mat_G, i, mIl, ni),
+            ))
+        linking_eq = {"b": (np.asarray(self.vec_bl(), np.float64)
+                            if self.vec_bl else np.zeros(mEl))}
+        linking_ineq = {
+            "iclow": (np.asarray(self.vec_idllow(), np.float64)
+                      if self.vec_idllow else np.zeros(mIl)),
+            "clow": (np.asarray(self.vec_dllow(), np.float64)
+                     if self.vec_dllow else np.zeros(mIl)),
+            "icupp": (np.asarray(self.vec_idlupp(), np.float64)
+                      if self.vec_idlupp else np.zeros(mIl)),
+            "cupp": (np.asarray(self.vec_dlupp(), np.float64)
+                     if self.vec_dlupp else np.zeros(mIl)),
+        }
+        return make_sparse_arrowhead_lp(blocks, first, linking_eq,
+                                        linking_ineq, dtype=dtype, K=K)
