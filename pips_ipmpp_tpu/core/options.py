@@ -90,6 +90,12 @@ class Options:
 
     # ---- linear algebra ----
     factor_dtype: str = "auto"             # "float32" | "float64" | "auto"
+    # global matmul precision on TPU f32: "highest" (6-pass bf16 emulation,
+    # the safe default) or "high" (3-pass, ~2x faster matmuls).  Measured:
+    # "high" is convergence-safe ONLY with factored_inverse=True (the
+    # Pallas LDL kernel pins its own dots to HIGHEST; the explicit-Ninv
+    # einsum at 3-pass loses too much accuracy and stalls the IPM).
+    matmul_precision: str = "highest"
     residual_dtype: str = "float64"
     primal_regularization: float = 1e-10   # delta_p (Friedlander-Orban style)
     dual_regularization: float = 1e-10     # delta_d

@@ -130,8 +130,10 @@ class IPMSolver:
                  troubles_hook: Optional[Callable] = None):
         # f32 matmuls on TPU default to bf16 MXU passes, which destroys the
         # factorization accuracy the IPM needs (observed: stall at mu~1e-3).
-        # Force true-f32 (3-pass) matmuls; no-op for f64/CPU.
-        jax.config.update("jax_default_matmul_precision", "highest")
+        # Force true-f32 matmuls; no-op for f64/CPU.  Options can dial
+        # "high" (3-pass) — safe only with factored_inverse leaves.
+        jax.config.update("jax_default_matmul_precision",
+                          (opts or Options()).matmul_precision)
         _enable_compilation_cache()
         self.opts = opts or Options()
         # `troubles_hook() -> be_ctor | None` is consulted when the
