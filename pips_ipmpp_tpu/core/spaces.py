@@ -54,6 +54,13 @@ def _is_space(x) -> bool:
 # once.
 # ----------------------------------------------------------------------
 
+def _blk_leaves(blocks):
+    """Leaves of a `blocks` field: one array in the uniform batched layout,
+    a tuple of per-bucket arrays in the bucketed heterogeneous layout
+    (core/bucketed.py) — reductions handle both transparently."""
+    return jax.tree.leaves(blocks)
+
+
 def _psum(val, axis):
     return jax.lax.psum(val, axis) if axis is not None else val
 
@@ -74,7 +81,8 @@ def dot(a, b, axis: str | None = None) -> jax.Array:
     for la, lb in zip(leaves_a, leaves_b):
         if isinstance(la, (XVec, RVec)):
             rep = rep + jnp.vdot(la.first, lb.first)
-            shard = shard + jnp.vdot(la.blocks, lb.blocks)
+            for ba, bb in zip(_blk_leaves(la.blocks), _blk_leaves(lb.blocks)):
+                shard = shard + jnp.vdot(ba, bb)
             if isinstance(la, RVec):
                 rep = rep + jnp.vdot(la.link, lb.link)
         else:
@@ -88,7 +96,8 @@ def total_sum(a, axis: str | None = None) -> jax.Array:
     for l in leaves:
         if isinstance(l, (XVec, RVec)):
             rep = rep + jnp.sum(l.first)
-            shard = shard + jnp.sum(l.blocks)
+            for bl_ in _blk_leaves(l.blocks):
+                shard = shard + jnp.sum(bl_)
             if isinstance(l, RVec):
                 rep = rep + jnp.sum(l.link)
         else:
@@ -106,7 +115,8 @@ def norm_inf(a, axis: str | None = None) -> jax.Array:
     for l in leaves:
         if isinstance(l, (XVec, RVec)):
             rep = jnp.maximum(rep, mx(l.first))
-            shard = jnp.maximum(shard, mx(l.blocks))
+            for bl_ in _blk_leaves(l.blocks):
+                shard = jnp.maximum(shard, mx(bl_))
             if isinstance(l, RVec):
                 rep = jnp.maximum(rep, mx(l.link))
         else:
@@ -126,7 +136,8 @@ def min_reduce(a, axis: str | None = None) -> jax.Array:
     for l in leaves:
         if isinstance(l, (XVec, RVec)):
             rep = jnp.minimum(rep, mn(l.first))
-            shard = jnp.minimum(shard, mn(l.blocks))
+            for bl_ in _blk_leaves(l.blocks):
+                shard = jnp.minimum(shard, mn(bl_))
             if isinstance(l, RVec):
                 rep = jnp.minimum(rep, mn(l.link))
         else:

@@ -444,18 +444,21 @@ class ArrowBackend:
         return _bchol_solve(L, t)
 
     # ------------------------------------------------------------------
-    def factorize(self, Dx: XVec, Ominv: RVec, delta_p, delta_d
-                  ) -> ArrowFactors:
+    def leaf_factorize(self, Dx_blocks, Ominv_blocks, delta_p, delta_d):
+        """Leaf phase of factorize: batched condensation, border solves,
+        and the LOCAL (un-psummed) Schur contribution of this backend's
+        blocks.  Returns (L, Ninv, Einv, Om, Ux, Um, contrib_local,
+        leaf_ok) — split out so composite backends (bucketed heterogeneous
+        block sizes) can run it once per bucket and sum contributions
+        before a single shared root assembly."""
         lp = self.lp
         fd = self.factor_dtype
-        n0, m0E, m0I = lp.n0, lp.m0E, lp.m0I
-        mEl, mIl = lp.mEl, lp.mIl
+        n0, mEl, mIl = lp.n0, lp.mEl, lp.mIl
         mE, mI = lp.mE, lp.mI
-        nS = n0 + mEl + mIl
 
         # ---- leaf condensation (batched over blocks) ----
-        Einv = 1.0 / (Dx.blocks + delta_p)                     # [N, n]
-        Om = 1.0 / Ominv.blocks                                # [N, mI]
+        Einv = 1.0 / (Dx_blocks + delta_p)                     # [N, n]
+        Om = 1.0 / Ominv_blocks                                # [N, mI]
         M = jnp.concatenate([lp.B, lp.D], axis=1)              # [N, mE+mI, n]
         Fd = jnp.concatenate([
             jnp.broadcast_to(jnp.asarray(delta_d, Einv.dtype), (lp.N, mE)),
@@ -463,13 +466,11 @@ class ArrowBackend:
         MEi = M * Einv[:, None, :]
         L, Ninv, leaf_ok = self._leaf_factor(M, MEi, Fd)
         if self.blockwise_sc > 0:
-            contrib = self._psum(self._contrib_blockwise(
-                L, Ninv, Einv, M)).astype(Einv.dtype)
+            contrib = self._contrib_blockwise(
+                L, Ninv, Einv, M).astype(Einv.dtype)
             Ux = jnp.zeros((), Einv.dtype)
             Um = jnp.zeros((), Einv.dtype)
-            return self._assemble_root(
-                Dx, Ominv, delta_p, delta_d, L, Ninv, Einv, Om, Ux, Um,
-                contrib, leaf_ok)
+            return L, Ninv, Einv, Om, Ux, Um, contrib, leaf_ok
 
         # ---- border solves U = K^{-1} R (structure-exploiting) ----
         # E^{-1} R_x = [0 | Einv*F' | Einv*G']
@@ -490,7 +491,7 @@ class ArrowBackend:
         Ux = EiRxf - Einv.astype(fd)[:, :, None] * jnp.einsum(
             "iam,iaS->imS", Mf, Um)
 
-        # ---- Schur contribution  -R' U  (psum = the SC allreduce) ----
+        # ---- Schur contribution  -R' U ----
         # R'U rows: [A'U_my + C'U_mz ; F U_x ; G U_x]; factor dtype on the
         # MXU — refinement absorbs the error in the working dtype
         contrib_x0 = (jnp.einsum("imk,imS->kS", lp.A.astype(fd), Um[:, :mE])
@@ -499,10 +500,17 @@ class ArrowBackend:
         contrib_zl = jnp.einsum("ilm,imS->lS", lp.G.astype(fd), Ux)
         Um = Um.astype(Einv.dtype)
         Ux = Ux.astype(Einv.dtype)
-        contrib = self._psum(
-            jnp.concatenate([contrib_x0, contrib_yl, contrib_zl],
-                            axis=0)).astype(Einv.dtype)
+        contrib = jnp.concatenate(
+            [contrib_x0, contrib_yl, contrib_zl], axis=0).astype(Einv.dtype)
+        return L, Ninv, Einv, Om, Ux, Um, contrib, leaf_ok
 
+    def factorize(self, Dx: XVec, Ominv: RVec, delta_p, delta_d
+                  ) -> ArrowFactors:
+        L, Ninv, Einv, Om, Ux, Um, contrib, leaf_ok = self.leaf_factorize(
+            Dx.blocks, Ominv.blocks, delta_p, delta_d)
+        # psum = the SC allreduce (reference chunked MPI_Allreduce,
+        # DistributedRootLinearSystem.C:860-975)
+        contrib = self._psum(contrib)
         return self._assemble_root(Dx, Ominv, delta_p, delta_d, L, Ninv,
                                    Einv, Om, Ux, Um, contrib, leaf_ok)
 
