@@ -94,7 +94,49 @@ def _small_ldl_inv(akk, p):
     return xkk, d
 
 
-def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
+def _small_ldl_inv_lanes(akk, p):
+    """Lane-major variant of `_small_ldl_inv`: operates on [p, p, G] blocks
+    (batch G on the LANES, columns on sublanes) instead of [G, p, p].
+
+    With the (8, 128) f32 vreg tiling, a [G, 16, 16] step touches vregs at
+    16/128 lane occupancy; [16, 16, G>=64] runs the same masked updates at
+    >=50% occupancy — ~4x less VPU work per sequential step of the
+    elimination, which is the latency-critical chain of the whole kernel.
+    The trailing working block stays symmetric, so the pivot row/column
+    are extracted with two masked reductions (axis 0 / axis 1) and no
+    transposes appear inside the loop.
+    """
+    g = akk.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, p, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, p, g), 1)
+    row_p1 = jax.lax.broadcasted_iota(jnp.int32, (p, 1, g), 0)
+    col_1p = jax.lax.broadcasted_iota(jnp.int32, (1, p, g), 1)
+    eye = jnp.where(row == col, 1.0, 0.0).astype(akk.dtype)
+
+    def body(j, carry):
+        m, xkk, d = carry
+        cj = jnp.sum(m * (col == j).astype(m.dtype), axis=1,
+                     keepdims=True)                            # [p,1,G]
+        rj = jnp.sum(m * (row == j).astype(m.dtype), axis=0,
+                     keepdims=True)                            # [1,p,G]
+        piv = jnp.sum(jnp.where(row_p1 == j, cj, 0.0), axis=0,
+                      keepdims=True)                           # [1,1,G]
+        colm = jnp.where(row_p1 > j, cj, 0.0) / piv            # L column
+        rowm = jnp.where(col_1p > j, rj, 0.0)                  # pivot row
+        xrow = jnp.sum(xkk * (row == j).astype(m.dtype), axis=0,
+                       keepdims=True)                          # [1,p,G]
+        m = m - colm * rowm
+        xkk = xkk - colm * xrow
+        d = jnp.where(row_p1[:, 0, :] == j, piv[0], d)         # [p,G]
+        return m, xkk, d
+
+    _, xkk, d = jax.lax.fori_loop(
+        0, p, body, (akk, eye, jnp.zeros((p, g), akk.dtype)))
+    return xkk, d
+
+
+def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int,
+                lane_major: bool = False):
     n_panels = a // panel
 
     # x_ref doubles as the working (trailing) matrix during phase 1; it is
@@ -105,7 +147,13 @@ def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int):
     for k in range(n_panels):
         r0 = k * panel
         r1 = r0 + panel
-        xkk, dpan = _small_ldl_inv(x_ref[:, r0:r1, r0:r1], panel)
+        if lane_major:
+            akk_lm = jnp.transpose(x_ref[:, r0:r1, r0:r1], (1, 2, 0))
+            xkk_lm, d_lm = _small_ldl_inv_lanes(akk_lm, panel)
+            xkk = jnp.transpose(xkk_lm, (2, 0, 1))
+            dpan = jnp.transpose(d_lm, (1, 0))
+        else:
+            xkk, dpan = _small_ldl_inv(x_ref[:, r0:r1, r0:r1], panel)
         xkk_ref[:, :, r0:r1] = xkk
         d_ref[:, r0:r1] = dpan
         if r1 < a:
@@ -159,13 +207,15 @@ def _pick_group(batch: int, a: int, panel: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "panel"))
-def _ldl_call(A, interpret=False, panel=None):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "panel", "lane_major"))
+def _ldl_call(A, interpret=False, panel=None, lane_major=False):
     B, a, _ = A.shape
     panel = min(panel or PANEL, a)
     g = _pick_group(B, a, panel)
     grid = B // g
-    kern = functools.partial(_ldl_kernel, a=a, panel=panel)
+    kern = functools.partial(_ldl_kernel, a=a, panel=panel,
+                             lane_major=lane_major)
     X, d = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -186,7 +236,8 @@ def _ldl_call(A, interpret=False, panel=None):
     return X, d
 
 
-def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None):
+def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None,
+                        lane_major=None):
     """Batched LDL^T of A [B, a, a] -> (X, d) with A^{-1} = X^T D^{-1} X.
 
     X is L^{-1} (unit lower triangular), d the pivot vector [B, a]
@@ -202,6 +253,8 @@ def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None):
         interpret = jax.default_backend() != "tpu"
     if panel is None:
         panel = int(os.environ.get("PIPS_LDL_PANEL", "0")) or None
+    if lane_major is None:
+        lane_major = bool(int(os.environ.get("PIPS_LDL_LANES", "0")))
     pw = panel or PANEL
     B, a, _ = A.shape
     pad = 0 if a <= pw else (-a) % pw
@@ -210,9 +263,11 @@ def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None):
         Ap = jnp.zeros((B, a + pad, a + pad), A.dtype)
         Ap = Ap.at[:, :a, :a].set(A)
         Ap = Ap.at[:, a:, a:].set(eye)
-        X, d = _ldl_call(Ap, interpret=interpret, panel=panel)
+        X, d = _ldl_call(Ap, interpret=interpret, panel=panel,
+                         lane_major=lane_major)
         return X[:, :a, :a], d[:, :a]
-    return _ldl_call(A, interpret=interpret, panel=panel)
+    return _ldl_call(A, interpret=interpret, panel=panel,
+                     lane_major=lane_major)
 
 
 def batched_inverse(A: jax.Array, interpret=None) -> jax.Array:
