@@ -331,22 +331,32 @@ class PresolveData:
 
     # ------------------------------------------------------------------
     def tighten_bounds(self, blk: int, j: int, new_low: Optional[float],
-                       new_upp: Optional[float], reason: str):
-        """Tighten variable bounds; detects crossing bounds -> infeasible."""
+                       new_upp: Optional[float], reason: str,
+                       implied_lo=None, implied_upp=None):
+        """Tighten variable bounds; detects crossing bounds -> infeasible.
+
+        `implied_lo`/`implied_upp` optionally record the IMPLYING ROW of
+        each side as ("eq"|"ineq", row_blk, r) — postsolve uses this for
+        the exact (directed) dual transfer when the solver leaves a bound
+        multiplier on the tightened bound (the reference's per-reduction
+        dual replay for BOUNDS_TIGHTENED, StochPostsolver.C)."""
         c, ixl, xl, ixu, xu, active = self.var_arrays(blk)
         old = (float(ixl[j]), float(xl[j]), float(ixu[j]), float(xu[j]))
         changed = False
+        tight_lo = tight_up = False
         if new_low is not None and (ixl[j] == 0 or new_low > xl[j] + 1e-14):
             ixl[j] = 1.0
             xl[j] = new_low
-            changed = True
+            changed = tight_lo = True
         if new_upp is not None and (ixu[j] == 0 or new_upp < xu[j] - 1e-14):
             ixu[j] = 1.0
             xu[j] = new_upp
-            changed = True
+            changed = tight_up = True
         if changed:
             self.emit("TIGHTENED_BOUNDS", blk=blk, j=j, old=old,
-                      reason=reason)
+                      reason=reason,
+                      implied_lo=implied_lo if tight_lo else None,
+                      implied_upp=implied_upp if tight_up else None)
             if ixl[j] > 0 and ixu[j] > 0 and xl[j] > xu[j] + 1e-9:
                 self.infeasible = True
         return changed

@@ -250,7 +250,9 @@ def singleton_rows(pd: PresolveData) -> int:
                 old_lo, old_up = _var_bounds(pd, vb, j)
                 pd.remove_ineq_row(blk, r, "singleton_row", var_blk=vb, j=j,
                                    coef=a, old_var_bounds=(old_lo, old_up))
-                pd.tighten_bounds(vb, j, nl, nu, reason="singleton_ineq_row")
+                pd.tighten_bounds(vb, j, nl, nu, reason="singleton_ineq_row",
+                                  implied_lo=("ineq", blk, r),
+                                  implied_upp=("ineq", blk, r))
                 n += 1
                 changed = True
                 if pd.infeasible:
@@ -566,42 +568,101 @@ def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
     from pips_ipmpp_tpu.presolve import vectorized as V
 
     n = 0
-    # accumulate the best candidate per variable across all scopes
+    # accumulate the best candidate per variable across all scopes, with
+    # PROVENANCE (which row implied it) for the exact postsolve dual
+    # transfer: src arrays carry (eq?1:0, row_blk, r) per variable side;
+    # row_blk encodes FIRST/LINK as the negative sentinels of data.py.
     best_lo0 = np.full(pd.c0.shape, -np.inf)
     best_up0 = np.full(pd.c0.shape, np.inf)
     best_loN = np.full(pd.cN.shape, -np.inf)
     best_upN = np.full(pd.cN.shape, np.inf)
+    src_lo0 = np.full(pd.c0.shape + (3,), -9, dtype=np.int64)
+    src_up0 = np.full(pd.c0.shape + (3,), -9, dtype=np.int64)
+    src_loN = np.full(pd.cN.shape + (3,), -9, dtype=np.int64)
+    src_upN = np.full(pd.cN.shape + (3,), -9, dtype=np.int64)
 
+    def upd_max(best, src, cand, rows):
+        """best/src [k]/[k,3] <- elementwise max with cand [k], rows
+        [k,3] the (is_eq, row_blk, r) of each candidate."""
+        better = cand > best
+        src[better] = rows[better]
+        return np.maximum(best, cand)
+
+    def upd_min(best, src, cand, rows):
+        better = cand < best
+        src[better] = rows[better]
+        return np.minimum(best, cand)
+
+    n_eq_scopes = len(V.eq_scopes(pd))
     scopes = ([(s, b, b) for (s, b, _b) in V.eq_scopes(pd)]
               + list(V.ineq_scopes(pd)))
     n0, nv = pd.c0.size, pd.cN.shape[1]
-    for scope, lo_r, up_r in scopes:
+    for si, (scope, lo_r, up_r) in enumerate(scopes):
+        is_eq = 1 if si < n_eq_scopes else 0
         act = V.activity(scope)
         cand_lo, cand_up = V.implied_col_bounds(scope, act, lo_r, up_r)
         if scope.kind == "first":
-            best_lo0 = np.maximum(best_lo0, cand_lo.max(axis=0))
-            best_up0 = np.minimum(best_up0, cand_up.min(axis=0))
+            rb = FIRST
+            arg_l, arg_u = cand_lo.argmax(0), cand_up.argmin(0)
+            rows_l = np.stack([np.full(n0, is_eq), np.full(n0, rb),
+                               arg_l], axis=-1)
+            rows_u = np.stack([np.full(n0, is_eq), np.full(n0, rb),
+                               arg_u], axis=-1)
+            best_lo0 = upd_max(best_lo0, src_lo0, cand_lo.max(0), rows_l)
+            best_up0 = upd_min(best_up0, src_up0, cand_up.min(0), rows_u)
         elif scope.kind == "block":
-            best_lo0 = np.maximum(best_lo0, cand_lo[:, :, :n0].max((0, 1)))
-            best_up0 = np.minimum(best_up0, cand_up[:, :, :n0].min((0, 1)))
-            best_loN = np.maximum(best_loN, cand_lo[:, :, n0:].max(1))
-            best_upN = np.minimum(best_upN, cand_up[:, :, n0:].min(1))
+            m = cand_lo.shape[1]
+            # first-stage columns: best over ALL (block, row) pairs
+            fl = cand_lo[:, :, :n0].reshape(-1, n0)
+            fu = cand_up[:, :, :n0].reshape(-1, n0)
+            al, au = fl.argmax(0), fu.argmin(0)
+            rows_l = np.stack([np.full(n0, is_eq), al // m, al % m], -1)
+            rows_u = np.stack([np.full(n0, is_eq), au // m, au % m], -1)
+            best_lo0 = upd_max(best_lo0, src_lo0, fl.max(0), rows_l)
+            best_up0 = upd_min(best_up0, src_up0, fu.min(0), rows_u)
+            # block columns: best row within each block
+            al = cand_lo[:, :, n0:].argmax(1)                  # [N, nv]
+            au = cand_up[:, :, n0:].argmin(1)
+            iN = np.broadcast_to(np.arange(pd.N)[:, None], al.shape)
+            e = np.full(al.shape, is_eq)
+            best_loN = upd_max(best_loN, src_loN,
+                               cand_lo[:, :, n0:].max(1),
+                               np.stack([e, iN, al], -1))
+            best_upN = upd_min(best_upN, src_upN,
+                               cand_up[:, :, n0:].min(1),
+                               np.stack([e, iN, au], -1))
         else:   # link
-            best_lo0 = np.maximum(best_lo0, cand_lo[:, :n0].max(0))
-            best_up0 = np.minimum(best_up0, cand_up[:, :n0].min(0))
-            best_loN = np.maximum(
-                best_loN, cand_lo[:, n0:].max(0).reshape(pd.N, nv))
-            best_upN = np.minimum(
-                best_upN, cand_up[:, n0:].min(0).reshape(pd.N, nv))
+            k = cand_lo.shape[1]
+            al, au = cand_lo.argmax(0), cand_up.argmin(0)
+            rows_l = np.stack([np.full(k, is_eq), np.full(k, LINK), al], -1)
+            rows_u = np.stack([np.full(k, is_eq), np.full(k, LINK), au], -1)
+            best_lo0 = upd_max(best_lo0, src_lo0, cand_lo[:, :n0].max(0),
+                               rows_l[:n0])
+            best_up0 = upd_min(best_up0, src_up0, cand_up[:, :n0].min(0),
+                               rows_u[:n0])
+            best_loN = upd_max(best_loN, src_loN,
+                               cand_lo[:, n0:].max(0).reshape(pd.N, nv),
+                               rows_l[n0:].reshape(pd.N, nv, 3))
+            best_upN = upd_min(best_upN, src_upN,
+                               cand_up[:, n0:].min(0).reshape(pd.N, nv),
+                               rows_u[n0:].reshape(pd.N, nv, 3))
+
+    def src_tuple(src, j):
+        e, rb, r = (int(v) for v in src[j])
+        if e < 0:
+            return None
+        return ("eq" if e else "ineq", rb, r)
 
     lo0, up0, loN, upN = V.var_bound_arrays(pd)
     for vb in [FIRST] + list(range(pd.N)):
         if vb == FIRST:
             bl, bu, cl, cu, active = best_lo0, best_up0, lo0, up0, \
                 pd.var_active0
+            sl, su = src_lo0, src_up0
         else:
             bl, bu, cl, cu, active = (best_loN[vb], best_upN[vb],
                                       loN[vb], upN[vb], pd.var_activeN[vb])
+            sl, su = src_loN[vb], src_upN[vb]
         improve_lo = (np.isfinite(bl) & (np.abs(bl) <= max_tighten)
                       & (bl >= cl + 1e-7) & active)
         improve_up = (np.isfinite(bu) & (np.abs(bu) <= max_tighten)
@@ -609,8 +670,10 @@ def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
         for j in np.nonzero(improve_lo | improve_up)[0]:
             nl = float(bl[j]) if improve_lo[j] else None
             nu = float(bu[j]) if improve_up[j] else None
-            if pd.tighten_bounds(vb, int(j), nl, nu,
-                                 reason="bound_strengthening"):
+            if pd.tighten_bounds(
+                    vb, int(j), nl, nu, reason="bound_strengthening",
+                    implied_lo=src_tuple(sl, j) if improve_lo[j] else None,
+                    implied_upp=src_tuple(su, j) if improve_up[j] else None):
                 n += 1
             if pd.infeasible:
                 return n

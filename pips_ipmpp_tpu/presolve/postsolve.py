@@ -108,10 +108,76 @@ class Postsolver:
 
         # final: bound duals from reduced costs (recomputed inside), then
         # move any dual mass resting on presolve-tightened (non-original)
-        # bounds onto the original rows that implied them (exact transfer
-        # — see _transfer_interior_bound_duals)
+        # bounds onto the original rows that implied them: first the
+        # DIRECTED pass using the implying rows recorded at tightening
+        # time (exact per-reduction replay, reference StochPostsolver.C),
+        # then the score-validated search for anything without provenance
+        self._directed_bound_dual_transfers(sol, events)
         self._transfer_interior_bound_duals(sol)
         return sol
+
+    def _orig_coef(self, kind, rb, r, blk, j) -> float:
+        """Coefficient of variable (blk, j) in ORIGINAL row (kind, rb, r)."""
+        lp = self.lp
+        if kind == "eq":
+            if rb == FIRST:
+                return float(lp.A0[r, j]) if blk == FIRST else 0.0
+            if rb == LINK:
+                return float(lp.F0[r, j] if blk == FIRST
+                             else lp.F[blk][r, j])
+            if blk == FIRST:
+                return float(lp.A[rb][r, j])
+            return float(lp.B[rb][r, j]) if blk == rb else 0.0
+        if rb == FIRST:
+            return float(lp.C0[r, j]) if blk == FIRST else 0.0
+        if rb == LINK:
+            return float(lp.G0[r, j] if blk == FIRST else lp.G[blk][r, j])
+        if blk == FIRST:
+            return float(lp.C[rb][r, j])
+        return float(lp.D[rb][r, j]) if blk == rb else 0.0
+
+    def _directed_bound_dual_transfers(self, sol: Solution, events,
+                                       tol: float = 1e-7):
+        """Exact reverse replay of TIGHTENED_BOUNDS duals: any reduced
+        cost the presolved solve parked on a tightened (non-original)
+        bound is moved onto the ROW RECORDED AS IMPLYING that bound at
+        tightening time (dz = red / a_rj with the ORIGINAL coefficient).
+        Replay runs in reverse event order so chains unwind naturally.
+        Each transfer is still applied tentatively and kept only if the
+        global dual-violation score strictly decreases — a stale
+        provenance (row since modified by another reduction) can never
+        corrupt the solution; it just falls through to the search pass."""
+        score = self._dual_violation_score(sol, tol)
+        if score <= tol:
+            self._recompute_bound_duals(sol)
+            return
+        lp = self.lp
+        for ev in reversed(events):
+            if ev.kind != "TIGHTENED_BOUNDS":
+                continue
+            d = ev.data
+            blk, j = d["blk"], d["j"]
+            for src in (d.get("implied_lo"), d.get("implied_upp")):
+                if src is None:
+                    continue
+                red = np_c(lp, blk, j) - np_ATy_col(lp, sol, blk, j)
+                if abs(red) <= tol:
+                    break
+                kind, rb, r = src
+                a = self._orig_coef(kind, rb, r, blk, j)
+                if abs(a) < 1e-12:
+                    continue
+                dz = red / a
+                duals = sol.ydual(rb) if kind == "eq" else sol.zdual(rb)
+                duals[r] += dz
+                s = self._dual_violation_score(sol, tol)
+                if s < score - 1e-12:
+                    score = s
+                else:
+                    duals[r] -= dz
+            if score <= tol:
+                break
+        self._recompute_bound_duals(sol)
 
     def _replay_primal(self, ev, sol: Solution):
         k, d = ev.kind, ev.data

