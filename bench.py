@@ -132,9 +132,24 @@ def main():
     be_kw = dict(factor_dtype=dtype, factored_inverse=True)
 
     # ---- flagship config ----
+    # the measured-best production config first; if it ever regresses
+    # (fails to converge), fall back to the conservative config rather
+    # than losing the whole benchmark artifact (round-2 lesson: a bad
+    # default turned BENCH_r02 into an rc=1 with no measurement)
     lp = scaler.scale(random_arrowhead_lp(0, dtype=dtype, **SHAPE))
-    solver = IPMSolver(partial(ArrowBackend, **be_kw), opts)
-    iters, sustained, single_s, it1 = _run_config(solver, _stream_lps(lp, STREAM))
+    fallback_note = None
+    try:
+        solver = IPMSolver(partial(ArrowBackend, **be_kw), opts)
+        iters, sustained, single_s, it1 = _run_config(
+            solver, _stream_lps(lp, STREAM))
+    except Exception as e:
+        fallback_note = f"production config failed ({str(e)[:80]}); " \
+                        "conservative fallback measured instead"
+        opts = Options(max_gondzio_correctors=1)
+        be_kw = dict(factor_dtype=dtype)
+        solver = IPMSolver(partial(ArrowBackend, **be_kw), opts)
+        iters, sustained, single_s, it1 = _run_config(
+            solver, _stream_lps(lp, STREAM))
     value = iters / sustained
 
     fpi = _flops_per_iter(SHAPE["N"], SHAPE["n"], SHAPE["mE"], SHAPE["mI"],
@@ -156,6 +171,8 @@ def main():
         # honest utilization of the precision actually used
         "mfu_pct_f32_highest": round(100.0 * tflops / (peak / 6.0), 2),
     }
+    if fallback_note:
+        out["note"] = fallback_note
 
     # ---- scale config: 512 blocks x 128 vars (BASELINE.json config #4) --
     try:
@@ -194,4 +211,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:   # always leave a parseable artifact
+        print(json.dumps({
+            "metric": "ipm_iterations_per_s_64blk_256v", "value": 0.0,
+            "unit": "iter/s", "vs_baseline": 0.0,
+            "error": f"bench failed: {type(exc).__name__}: {str(exc)[:160]}"}))
+        sys.exit(0)
