@@ -40,6 +40,18 @@ def main(argv=None) -> int:
         lp = read_mps(argv[1])
         flags = argv[2:]
         stem = argv[1].rsplit(".", 1)[0]
+        # --auto-blocks K: discover arrowhead structure in the flat LP
+        # (core/dissect.py) so un-annotated MPS models run on the batched
+        # structured path — a capability gmspips does not have (it needs
+        # GAMS block annotations)
+        if "--auto-blocks" in flags:
+            i = flags.index("--auto-blocks")
+            k = int(flags[i + 1])
+            flags = flags[:i] + flags[i + 2:]
+            from pips_ipmpp_tpu.core.dissect import (auto_structure,
+                                                     structure_report)
+            lp, dmap = auto_structure(lp, num_blocks=k)
+            print("auto-structure:", structure_report(dmap, lp))
     else:
         from pips_ipmpp_tpu.io.blockfile import read_blocks
         n_blocks = int(argv[0])

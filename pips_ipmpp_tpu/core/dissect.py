@@ -1,0 +1,255 @@
+"""Automatic structure detection: nested-dissection reblocking of an
+unstructured sparse LP onto the batched arrowhead path.
+
+The reference's answer to large sparse per-block KKTs is a supernodal
+sparse LDL^T inside PARDISO (PardisoSchurSolver.C:84-252 symbolic setup;
+SparseStorage.C), and it REQUIRES the user to annotate block structure
+up front (gmspips GAMS annotations, DistributedInputTree callbacks).
+The TPU-native equivalent lifts the same idea — fill-reducing ordering +
+separator elimination — from the factorization level to the PROBLEM
+level: RCM-order the column-interaction graph, cut it into contiguous
+chunks (the "supernodes"), promote high-traffic crossing columns to the
+first stage (the "separator"), turn the residual crossing rows into
+linking rows, and hand the result to the existing batched dense MXU
+machinery (ArrowBackend / hierarchical / bucketed).  Sub-block
+factorizations then run as one fused batched Pallas LDL^T — dense panels
+at MXU speed-of-light instead of irregular scalar sparsity, which is the
+whole TPU playbook.
+
+Bonus capability the reference does not have: `auto_structure` accepts
+ANY flat LP (e.g. straight from the MPS reader) with no annotations and
+discovers the block structure itself.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from pips_ipmpp_tpu.core.lp import ArrowheadLP, DenseLP, make_arrowhead_lp
+
+FIRST = -1
+
+
+@dataclasses.dataclass
+class DissectMap:
+    """Column/row placement of the dissected LP, for solution recovery.
+
+    col_place[v] = (blk, j): original column v lives at block `blk`
+    (FIRST = first stage) local index j.  eq_place/ineq_place likewise
+    for rows ("link" blocks use LINK = -2 with the linking-row index).
+    """
+    n: int
+    col_place: list
+    eq_place: list
+    ineq_place: list
+    num_blocks: int
+
+    def recover_x(self, x0: np.ndarray, xN: np.ndarray) -> np.ndarray:
+        """Assemble the original flat x from first-stage + block parts."""
+        x = np.zeros(self.n, dtype=np.asarray(x0).dtype)
+        for v, (blk, j) in enumerate(self.col_place):
+            x[v] = x0[j] if blk == FIRST else xN[blk][j]
+        return x
+
+
+def _column_chunks(K, n: int, num_blocks: int) -> np.ndarray:
+    """RCM-order the column-interaction graph of pattern matrix K [m, n]
+    and cut into `num_blocks` contiguous chunks.  Returns chunk id per
+    original column."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    Kb = sp.csr_matrix(K, copy=False).astype(bool)
+    G = (Kb.T @ Kb).tocsr()      # column graph (pattern of K'K)
+    perm = np.asarray(reverse_cuthill_mckee(G, symmetric_mode=True))
+    chunk_of = np.empty(n, dtype=np.int64)
+    # equal-size contiguous cuts of the RCM order
+    bounds = np.linspace(0, n, num_blocks + 1).astype(np.int64)
+    for b in range(num_blocks):
+        chunk_of[perm[bounds[b]:bounds[b + 1]]] = b
+    return chunk_of
+
+
+def dissect(lp: DenseLP, num_blocks: int,
+            promote_threshold: int = 2,
+            max_first_frac: float = 0.25):
+    """Discover an arrowhead structure in a flat LP.
+
+    1. RCM the column graph, cut into `num_blocks` contiguous chunks.
+    2. Rows whose columns span >1 chunk are CROSSING.  Columns that
+       appear in >= `promote_threshold` crossing rows are promoted to the
+       first stage (separator vertices, capped at `max_first_frac * n`).
+    3. Remaining crossing rows become linking rows (F/G strips).
+
+    Returns (ArrowheadLP, DissectMap).  Exact: the dissected problem is
+    the original under a permutation; objective values coincide.
+    """
+    import scipy.sparse as sp
+
+    cA = np.asarray(lp.c, np.float64)
+    A = np.asarray(lp.A, np.float64)
+    C = np.asarray(lp.C, np.float64)
+    n = cA.size
+    mE, mI = A.shape[0], C.shape[0]
+    if num_blocks < 1:
+        raise ValueError("num_blocks must be >= 1")
+
+    K = sp.vstack([sp.csr_matrix(A), sp.csr_matrix(C)]).tocsr()
+    chunk_of = _column_chunks(K, n, num_blocks)
+
+    rows = [K.indices[K.indptr[r]:K.indptr[r + 1]] for r in range(mE + mI)]
+
+    # ---- separator promotion ----
+    def crossing_rows(first_mask):
+        out = []
+        for r, cols in enumerate(rows):
+            local = cols[~first_mask[cols]]
+            if local.size and np.unique(chunk_of[local]).size > 1:
+                out.append(r)
+        return out
+
+    first_mask = np.zeros(n, dtype=bool)
+    cross = crossing_rows(first_mask)
+    if cross and promote_threshold > 0:
+        counts = np.zeros(n, dtype=np.int64)
+        for r in cross:
+            counts[rows[r]] += 1
+        cap = max(1, int(max_first_frac * n))
+        cand = np.nonzero(counts >= promote_threshold)[0]
+        if cand.size > cap:      # keep the busiest separator vertices
+            cand = cand[np.argsort(-counts[cand])[:cap]]
+        first_mask[cand] = True
+        cross = crossing_rows(first_mask)
+    cross_set = set(cross)
+
+    # ---- placements ----
+    first_cols = np.nonzero(first_mask)[0]
+    f_idx = {int(v): i for i, v in enumerate(first_cols)}
+    blk_cols = [np.nonzero(~first_mask & (chunk_of == b))[0]
+                for b in range(num_blocks)]
+    b_idx = [{int(v): i for i, v in enumerate(cols)} for cols in blk_cols]
+
+    col_place = [None] * n
+    for v in first_cols:
+        col_place[v] = (FIRST, f_idx[int(v)])
+    for b, cols in enumerate(blk_cols):
+        for v in cols:
+            col_place[v] = (b, b_idx[b][int(v)])
+
+    def row_home(r):
+        """Owning block of a non-crossing row (rows with only first-stage
+        columns live in the first stage)."""
+        local = rows[r][~first_mask[rows[r]]]
+        return int(chunk_of[local[0]]) if local.size else FIRST
+
+    n0 = first_cols.size
+    iclow = np.asarray(lp.iclow, np.float64)
+    clow = np.asarray(lp.clow, np.float64)
+    icupp = np.asarray(lp.icupp, np.float64)
+    cupp = np.asarray(lp.cupp, np.float64)
+
+    eq_rows_of = [[] for _ in range(num_blocks)]
+    iq_rows_of = [[] for _ in range(num_blocks)]
+    eq0, iq0, eql, iql = [], [], [], []
+    for r in range(mE):
+        if r in cross_set:
+            eql.append(r)
+        else:
+            h = row_home(r)
+            (eq0 if h == FIRST else eq_rows_of[h]).append(r)
+    for r0 in range(mI):
+        r = mE + r0
+        if r in cross_set:
+            iql.append(r0)
+        else:
+            h = row_home(r)
+            (iq0 if h == FIRST else iq_rows_of[h]).append(r0)
+
+    eq_place = [None] * mE
+    ineq_place = [None] * mI
+    for i, r in enumerate(eq0):
+        eq_place[r] = (FIRST, i)
+    for i, r in enumerate(eql):
+        eq_place[r] = (-2, i)
+    for i, r in enumerate(iq0):
+        ineq_place[r] = (FIRST, i)
+    for i, r in enumerate(iql):
+        ineq_place[r] = (-2, i)
+
+    ixlow = np.asarray(lp.ixlow, np.float64)
+    xlow = np.asarray(lp.xlow, np.float64)
+    ixupp = np.asarray(lp.ixupp, np.float64)
+    xupp = np.asarray(lp.xupp, np.float64)
+    b_rhs = np.asarray(lp.b, np.float64)
+
+    mEl, mIl = len(eql), len(iql)
+    blocks = []
+    for bI in range(num_blocks):
+        cols = blk_cols[bI]
+        nb = cols.size
+        er, ir = eq_rows_of[bI], iq_rows_of[bI]
+        for i, r in enumerate(er):
+            eq_place[r] = (bI, i)
+        for i, r in enumerate(ir):
+            ineq_place[r] = (bI, i)
+        blocks.append(dict(
+            c=cA[cols],
+            A=A[np.ix_(er, first_cols)] if er else np.zeros((0, n0)),
+            B=A[np.ix_(er, cols)] if er else np.zeros((0, nb)),
+            b=b_rhs[er],
+            C=C[np.ix_(ir, first_cols)] if ir else np.zeros((0, n0)),
+            D=C[np.ix_(ir, cols)] if ir else np.zeros((0, nb)),
+            iclow=iclow[ir], clow=clow[ir],
+            icupp=icupp[ir], cupp=cupp[ir],
+            ixlow=ixlow[cols], xlow=xlow[cols],
+            ixupp=ixupp[cols], xupp=xupp[cols],
+            F=A[np.ix_(eql, cols)] if mEl else np.zeros((0, nb)),
+            G=C[np.ix_(iql, cols)] if mIl else np.zeros((0, nb)),
+        ))
+
+    first_stage = dict(
+        c=cA[first_cols],
+        A=A[np.ix_(eq0, first_cols)] if eq0 else np.zeros((0, n0)),
+        b=b_rhs[eq0],
+        C=C[np.ix_(iq0, first_cols)] if iq0 else np.zeros((0, n0)),
+        iclow=iclow[iq0], clow=clow[iq0],
+        icupp=icupp[iq0], cupp=cupp[iq0],
+        ixlow=ixlow[first_cols], xlow=xlow[first_cols],
+        ixupp=ixupp[first_cols], xupp=xupp[first_cols],
+        F0=A[np.ix_(eql, first_cols)] if mEl else np.zeros((0, n0)),
+        G0=C[np.ix_(iql, first_cols)] if mIl else np.zeros((0, n0)),
+    )
+    linking_eq = {"b": b_rhs[eql]}
+    linking_ineq = {"iclow": iclow[iql], "clow": clow[iql],
+                    "icupp": icupp[iql], "cupp": cupp[iql]}
+
+    dmap = DissectMap(n=n, col_place=col_place, eq_place=eq_place,
+                      ineq_place=ineq_place, num_blocks=num_blocks)
+    return blocks, first_stage, linking_eq, linking_ineq, dmap
+
+
+def auto_structure(lp: DenseLP, num_blocks: int, dtype=None,
+                   promote_threshold: int = 2,
+                   max_first_frac: float = 0.25,
+                   ) -> tuple[ArrowheadLP, DissectMap]:
+    """DenseLP -> (ArrowheadLP, DissectMap): discover block structure and
+    build the batched arrowhead problem (exact reformulation)."""
+    import jax.numpy as jnp
+    blocks, first, leq, liq, dmap = dissect(
+        lp, num_blocks, promote_threshold=promote_threshold,
+        max_first_frac=max_first_frac)
+    alp = make_arrowhead_lp(blocks, first, leq, liq,
+                            dtype=dtype or jnp.float64)
+    return alp, dmap
+
+
+def structure_report(dmap: DissectMap, alp: ArrowheadLP) -> dict:
+    """Sizing summary of a dissection (for logs/CLI)."""
+    return dict(num_blocks=alp.N, block_vars=alp.n,
+                block_eq=alp.mE, block_ineq=alp.mI,
+                first_vars=alp.n0, linking_eq=alp.mEl,
+                linking_ineq=alp.mIl,
+                dense_kkt_entries=int(dmap.n) ** 2,
+                arrow_leaf_entries=int(alp.N) * int(alp.mE + alp.mI) ** 2)
