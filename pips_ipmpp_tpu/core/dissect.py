@@ -253,3 +253,232 @@ def structure_report(dmap: DissectMap, alp: ArrowheadLP) -> dict:
                 linking_ineq=alp.mIl,
                 dense_kkt_entries=int(dmap.n) ** 2,
                 arrow_leaf_entries=int(alp.N) * int(alp.mE + alp.mI) ** 2)
+
+
+# ======================================================================
+# Oversized-block refinement: split huge sparse blocks of an ANNOTATED
+# arrowhead problem into sub-blocks (the per-block analog of the
+# reference's supernodal leaf factorization: PARDISO eliminates a big
+# sparse block via nested-dissection fronts INSIDE the factorization,
+# PardisoSchurSolver.C:84-252; here the dissection happens once at
+# intake and the sub-blocks run on the batched dense MXU path).
+# ======================================================================
+
+def _greedy_split(K_pattern, n_local, sub_target):
+    """Chunk local columns; greedily promote columns until no LOCAL row
+    crosses chunks.  Returns (chunk_of, promoted_mask)."""
+    import scipy.sparse as sp
+
+    k = max(2, int(np.ceil(n_local / max(1, sub_target))))
+    K = sp.csr_matrix(K_pattern)
+    chunk_of = _column_chunks(K, n_local, k)
+    rows = [K.indices[K.indptr[r]:K.indptr[r + 1]]
+            for r in range(K.shape[0])]
+    promoted = np.zeros(n_local, dtype=bool)
+    for _ in range(n_local):   # bounded; each round promotes >= 1 column
+        counts = np.zeros(n_local, dtype=np.int64)
+        n_cross = 0
+        for cols in rows:
+            local = cols[~promoted[cols]]
+            if local.size and np.unique(chunk_of[local]).size > 1:
+                counts[local] += 1
+                n_cross += 1
+        if n_cross == 0:
+            break
+        # bulk round first (cover columns shared by many crossing rows),
+        # then single best
+        cand = np.nonzero(counts >= 2)[0]
+        if cand.size == 0:
+            cand = np.array([int(np.argmax(counts))])
+        promoted[cand] = True
+    return chunk_of, promoted
+
+
+def refine_blocks(blocks: list, first_stage: dict,
+                  max_block_vars: int, sub_target: Optional[int] = None):
+    """Split every block with more than `max_block_vars` variables into
+    sub-blocks of ~`sub_target` variables; separator columns are promoted
+    into the (enlarged) first stage, rows that lose all local columns
+    become first-stage rows.  Input/output are the `make_arrowhead_lp`
+    block/first-stage dicts, so the result feeds the uniform batched
+    path, the bucketed heterogeneous path, or the hierarchical transform
+    unchanged.  Returns (new_blocks, new_first_stage, placement) with
+    placement[i] = list of (new_block_index or FIRST, local index) per
+    ORIGINAL block-i variable.
+    """
+    sub_target = sub_target or max_block_vars
+    n0 = len(first_stage["c"])
+    mEl = np.asarray(first_stage.get("F0", np.zeros((0, n0)))).shape[0]
+    mIl = np.asarray(first_stage.get("G0", np.zeros((0, n0)))).shape[0]
+
+    # pass 1: per-block split decisions + promoted columns
+    plans = []
+    total_promoted = 0
+    for blk in blocks:
+        nb = len(blk["c"])
+        if nb <= max_block_vars:
+            plans.append(None)
+            continue
+        B = np.asarray(blk["B"], np.float64)
+        D = np.asarray(blk["D"], np.float64)
+        F = np.asarray(blk.get("F", np.zeros((mEl, nb))), np.float64)
+        G = np.asarray(blk.get("G", np.zeros((mIl, nb))), np.float64)
+        # locality is decided by the LOCAL rows only (F/G rows are
+        # already linking rows and may touch any sub-block)
+        K = np.vstack([B, D]) if B.size + D.size else np.zeros((0, nb))
+        chunk_of, promoted = _greedy_split(K, nb, sub_target)
+        plans.append((chunk_of, promoted, B, D, F, G))
+        total_promoted += int(promoted.sum())
+
+    if all(p is None for p in plans):
+        return list(blocks), dict(first_stage), \
+            [[(i, j) for j in range(len(b["c"]))]
+             for i, b in enumerate(blocks)]
+
+    n0_new = n0 + total_promoted
+    f = lambda a: np.asarray(a, np.float64)
+
+    # promoted-column offsets per original block (within the new x0 tail)
+    offs, off = [], n0
+    for p in plans:
+        offs.append(off)
+        if p is not None:
+            off += int(p[1].sum())
+
+    new_blocks = []
+    placement = []
+    fs_extra_eq = []    # (row_x0_new, rhs) relocated first-stage eq rows
+    fs_extra_iq = []    # (row_x0_new, il, lo, iu, up)
+    F0_extra = np.zeros((mEl, total_promoted))
+    G0_extra = np.zeros((mIl, total_promoted))
+    c0_extra = np.zeros(total_promoted)
+    bnd_extra = {k: np.zeros(total_promoted)
+                 for k in ("ixlow", "xlow", "ixupp", "xupp")}
+
+    def widen(mat, nrows):
+        """[m, n0] -> [m, n0_new] zero-extended."""
+        m = f(mat) if np.size(mat) else np.zeros((nrows, n0))
+        out = np.zeros((m.shape[0], n0_new))
+        out[:, :n0] = m
+        return out
+
+    for bi, (blk, plan) in enumerate(zip(blocks, plans)):
+        nb = len(blk["c"])
+        if plan is None:
+            nb_blk = dict(blk)
+            nb_blk["A"] = widen(blk["A"], len(blk["b"]))
+            nb_blk["C"] = widen(blk["C"], len(blk["clow"]))
+            placement.append([(len(new_blocks), j) for j in range(nb)])
+            new_blocks.append(nb_blk)
+            continue
+
+        chunk_of, promoted, B, D, F, G = plan
+        A = widen(blk["A"], B.shape[0])
+        C = widen(blk["C"], D.shape[0])
+        po = offs[bi] - n0          # offset into the promoted tail
+        pcols = np.nonzero(promoted)[0]
+        pidx = {int(v): n0 + po + i for i, v in enumerate(pcols)}
+
+        # promoted columns join the first stage
+        c0_extra[po:po + pcols.size] = f(blk["c"])[pcols]
+        for k in bnd_extra:
+            bnd_extra[k][po:po + pcols.size] = f(blk[k])[pcols]
+        if mEl:
+            F0_extra[:, po:po + pcols.size] = F[:, pcols]
+        if mIl:
+            G0_extra[:, po:po + pcols.size] = G[:, pcols]
+        # fold promoted-column coefficients of local rows into the border
+        A[:, n0 + po:n0 + po + pcols.size] = B[:, pcols]
+        C[:, n0 + po:n0 + po + pcols.size] = D[:, pcols]
+
+        place = [None] * nb
+        for v in pcols:
+            place[int(v)] = (FIRST, pidx[int(v)])
+
+        k = int(chunk_of.max()) + 1
+        sub_cols = [np.nonzero(~promoted & (chunk_of == s))[0]
+                    for s in range(k)]
+        # drop empty chunks (everything promoted)
+        sub_cols = [sc for sc in sub_cols if sc.size]
+
+        # assign local rows to the sub-block of their remaining columns
+        def owner(rowv):
+            loc = np.nonzero(rowv)[0]
+            loc = loc[~promoted[loc]]
+            if loc.size == 0:
+                return FIRST
+            return int(chunk_of[loc[0]])
+
+        chunk_index = {}
+        for i, sc in enumerate(sub_cols):
+            chunk_index[int(chunk_of[sc[0]])] = i
+
+        eq_of = [[] for _ in sub_cols]
+        iq_of = [[] for _ in sub_cols]
+        bN = f(blk["b"])
+        il, lo = f(blk["iclow"]), f(blk["clow"])
+        iu, up = f(blk["icupp"]), f(blk["cupp"])
+        for r in range(B.shape[0]):
+            h = owner(B[r])
+            if h == FIRST:
+                fs_extra_eq.append((A[r], float(bN[r])))
+            else:
+                eq_of[chunk_index[h]].append(r)
+        for r in range(D.shape[0]):
+            h = owner(D[r])
+            if h == FIRST:
+                fs_extra_iq.append((C[r], float(il[r]), float(lo[r]),
+                                    float(iu[r]), float(up[r])))
+            else:
+                iq_of[chunk_index[h]].append(r)
+
+        for si, sc in enumerate(sub_cols):
+            er, ir = eq_of[si], iq_of[si]
+            nbi = len(new_blocks)
+            for i, v in enumerate(sc):
+                place[int(v)] = (nbi, i)
+            new_blocks.append(dict(
+                c=f(blk["c"])[sc],
+                A=A[er][:, :] if er else np.zeros((0, n0_new)),
+                B=B[np.ix_(er, sc)] if er else np.zeros((0, sc.size)),
+                b=bN[er],
+                C=C[ir][:, :] if ir else np.zeros((0, n0_new)),
+                D=D[np.ix_(ir, sc)] if ir else np.zeros((0, sc.size)),
+                iclow=il[ir], clow=lo[ir], icupp=iu[ir], cupp=up[ir],
+                ixlow=f(blk["ixlow"])[sc], xlow=f(blk["xlow"])[sc],
+                ixupp=f(blk["ixupp"])[sc], xupp=f(blk["xupp"])[sc],
+                F=F[:, sc] if mEl else np.zeros((0, sc.size)),
+                G=G[:, sc] if mIl else np.zeros((0, sc.size)),
+            ))
+        placement.append(place)
+
+    # ---- enlarged first stage ----
+    fs = dict(first_stage)
+    A0 = widen(fs["A"], len(fs["b"]))
+    C0 = widen(fs["C"], len(fs["clow"]))
+    b0 = f(fs["b"])
+    if fs_extra_eq:
+        A0 = np.vstack([A0] + [r for r, _ in fs_extra_eq])
+        b0 = np.concatenate([b0, [v for _, v in fs_extra_eq]])
+    il0, lo0 = f(fs["iclow"]), f(fs["clow"])
+    iu0, up0 = f(fs["icupp"]), f(fs["cupp"])
+    if fs_extra_iq:
+        C0 = np.vstack([C0] + [r for r, *_ in fs_extra_iq])
+        il0 = np.concatenate([il0, [v[1] for v in fs_extra_iq]])
+        lo0 = np.concatenate([lo0, [v[2] for v in fs_extra_iq]])
+        iu0 = np.concatenate([iu0, [v[3] for v in fs_extra_iq]])
+        up0 = np.concatenate([up0, [v[4] for v in fs_extra_iq]])
+    fs.update(
+        c=np.concatenate([f(fs["c"]), c0_extra]),
+        A=A0, b=b0, C=C0,
+        iclow=il0, clow=lo0, icupp=iu0, cupp=up0,
+        ixlow=np.concatenate([f(fs["ixlow"]), bnd_extra["ixlow"]]),
+        xlow=np.concatenate([f(fs["xlow"]), bnd_extra["xlow"]]),
+        ixupp=np.concatenate([f(fs["ixupp"]), bnd_extra["ixupp"]]),
+        xupp=np.concatenate([f(fs["xupp"]), bnd_extra["xupp"]]),
+        F0=np.hstack([widen(fs.get("F0", np.zeros((mEl, n0))), mEl)[:, :n0],
+                      F0_extra]) if mEl else np.zeros((0, n0_new)),
+        G0=np.hstack([widen(fs.get("G0", np.zeros((mIl, n0))), mIl)[:, :n0],
+                      G0_extra]) if mIl else np.zeros((0, n0_new)),
+    )
+    return new_blocks, fs, placement
