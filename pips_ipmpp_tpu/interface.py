@@ -19,6 +19,11 @@ def _is_sparse_arrowhead(lp) -> bool:
     return isinstance(lp, SparseArrowheadLP)
 
 
+def _is_bucketed(lp) -> bool:
+    from pips_ipmpp_tpu.core.bucketed import BucketedArrowheadLP
+    return isinstance(lp, BucketedArrowheadLP)
+
+
 def resolve_factor_dtype(opts: Options):
     """Mixed-precision policy: factorize in f32 on accelerators (MXU speed;
     f64 on TPU is software-emulated and ~90x slower), f64 on CPU; residuals
@@ -101,6 +106,15 @@ class PIPSIPMppTPUInterface:
                 SparseArrowBackend
             self._solver = IPMSolver(
                 partial(SparseArrowBackend, factor_dtype=fd), self.options)
+        elif _is_bucketed(lp):
+            if (self.options.banded_leaf or self.options.banded_root
+                    or self.options.hierarchical):
+                raise ValueError("banded/hierarchical modes are not "
+                                 "supported with bucketed blocks")
+            from pips_ipmpp_tpu.linalg.bucket_backend import \
+                BucketedArrowBackend
+            self._solver = IPMSolver(
+                partial(BucketedArrowBackend, factor_dtype=fd), self.options)
         else:
             raise TypeError(f"unsupported problem type {type(lp)}")
 
@@ -120,9 +134,14 @@ class PIPSIPMppTPUInterface:
                 return TerminationStatus.INFEASIBLE
             lp = self._presolve_log.lp
         if self.options.scaler != ScalerType.NONE:
-            from pips_ipmpp_tpu.scale import make_scaler
-            self._scaler = make_scaler(self.options.scaler)
-            lp = self._scaler.scale(lp)
+            if _is_bucketed(lp):
+                import warnings
+                warnings.warn("scaling is not yet supported for bucketed "
+                              "blocks; solving unscaled")
+            else:
+                from pips_ipmpp_tpu.scale import make_scaler
+                self._scaler = make_scaler(self.options.scaler)
+                lp = self._scaler.scale(lp)
         # hierarchical two-level Schur (reference switchToHierarchicalData,
         # PIPSIPMppInterface.cpp:81-89): transform last so every other
         # stage sees the flat layout
@@ -204,6 +223,8 @@ class PIPSIPMppTPUInterface:
         """Objective of the (unscaled) solution (reference
         PIPSIPMppInterface::getObjective :193-211)."""
         self._require_result()
+        if _is_bucketed(self.lp):   # unscaled by construction (see run)
+            return float(self.result.objective)
         x = self.gatherPrimalSolution()
         if isinstance(self.lp, DenseLP):
             return float(np.dot(np.asarray(self.lp.c), x))
@@ -227,6 +248,10 @@ class PIPSIPMppTPUInterface:
         x = self._unscale_x(self.result.iterate)
         if isinstance(self.lp, DenseLP):
             return np.asarray(x)
+        if _is_bucketed(self.lp):   # [first | bucket0.flat | bucket1.flat …]
+            return np.concatenate(
+                [np.asarray(x.first)]
+                + [np.asarray(b).reshape(-1) for b in x.blocks])
         return np.concatenate([np.asarray(x.first),
                                np.asarray(x.blocks).reshape(-1)])
 

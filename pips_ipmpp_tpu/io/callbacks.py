@@ -68,7 +68,13 @@ class InputTree:
     vec_dlupp: Optional[Callable[[], np.ndarray]] = None
     vec_idlupp: Optional[Callable[[], np.ndarray]] = None
 
-    def build(self, dtype=jnp.float64) -> ArrowheadLP:
+    def build(self, dtype=jnp.float64, max_block_vars: int | None = None,
+              bucketed: bool = False):
+        """Assemble the batched problem.  `max_block_vars` splits
+        oversized blocks at intake (core/dissect.refine_blocks);
+        `bucketed` groups heterogeneous block sizes into MXU-quantized
+        buckets (core/bucketed.py) instead of padding to the global max.
+        Returns ArrowheadLP, or BucketedArrowheadLP when `bucketed`."""
         mEl, mIl = self.n_linking_eq, self.n_linking_ineq
 
         def mat(cb, blk_id, m, n):
@@ -134,6 +140,14 @@ class InputTree:
             "cupp": (np.asarray(self.vec_dlupp(), np.float64)
                      if self.vec_dlupp else np.zeros(mIl)),
         }
+        if max_block_vars is not None:
+            from pips_ipmpp_tpu.core.dissect import refine_blocks
+            blocks, first, _ = refine_blocks(blocks, first, max_block_vars)
+        if bucketed:
+            from pips_ipmpp_tpu.core.bucketed import \
+                make_bucketed_arrowhead_lp
+            return make_bucketed_arrowhead_lp(
+                blocks, first, linking_eq, linking_ineq, dtype=dtype)
         return make_arrowhead_lp(blocks, first, linking_eq, linking_ineq,
                                  dtype=dtype)
 

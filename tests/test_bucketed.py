@@ -159,3 +159,18 @@ def test_bucketed_rejects_special_roots(hetero_pair):
         BucketedArrowBackend(blp, dist_root=True)
     with pytest.raises(ValueError):
         BucketedArrowBackend(blp, blockwise_sc=32)
+
+
+def test_bucketed_through_interface(hetero_pair):
+    """Facade parity: PIPSIPMppTPUInterface accepts a BucketedArrowheadLP
+    (run/getObjective/gatherPrimalSolution)."""
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    blp, lp_flat = hetero_pair
+    iface = PIPSIPMppTPUInterface(blp, Options(max_iterations=80))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    r_flat = IPMSolver(ArrowBackend, Options(max_iterations=80)).solve(
+        lp_flat)
+    assert iface.getObjective() == pytest.approx(float(r_flat.objective),
+                                                 abs=1e-6, rel=1e-6)
+    x = iface.gatherPrimalSolution()
+    assert x.shape[0] == blp.n0 + sum(b.N * b.n for b in blp.buckets)
