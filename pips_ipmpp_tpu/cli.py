@@ -44,8 +44,13 @@ def main(argv=None) -> int:
         # (core/dissect.py) so un-annotated MPS models run on the batched
         # structured path — a capability gmspips does not have (it needs
         # GAMS block annotations)
+        dmap = None
         if "--auto-blocks" in flags:
             i = flags.index("--auto-blocks")
+            if i + 1 >= len(flags) or not flags[i + 1].isdigit():
+                print("error: --auto-blocks requires an integer block "
+                      "count (e.g. --auto-blocks 16)", file=sys.stderr)
+                return 2
             k = int(flags[i + 1])
             flags = flags[:i] + flags[i + 2:]
             from pips_ipmpp_tpu.core.dissect import (auto_structure,

@@ -153,10 +153,23 @@ class IPMSolver:
         if hasattr(self, "_fused"):
             del self._fused
 
+    def _assert_precision(self):
+        """jax_default_matmul_precision is PROCESS-GLOBAL and baked in at
+        trace time: another solver constructed later with a different
+        matmul_precision would silently retrace this solver's functions
+        under its setting (e.g. 'high' without factored_inverse stalls
+        the IPM at mu~1e-3).  Re-assert our own setting at every solve
+        entry so construction order cannot change numerics."""
+        if jax.config.jax_default_matmul_precision != \
+                self.opts.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              self.opts.matmul_precision)
+
     def solve(self, lp, callback=None, checkpoint_path: str | None = None,
               checkpoint_every: int = 10,
               resume: bool = False) -> SolveResult:
         opts = self.opts
+        self._assert_precision()
         mu_tol, res_tol = opts.tolerances()
 
         from pips_ipmpp_tpu.ipm.regularization import make_regularization
@@ -273,6 +286,7 @@ class IPMSolver:
         outer loop synchronizes every iteration instead,
         PIPSIPMppSolver.cpp:29-194)."""
         from pips_ipmpp_tpu.ipm.device_loop import solve_on_device
+        self._assert_precision()
         if not hasattr(self, "_fused"):
             self._fused = jax.jit(
                 partial(solve_on_device, self.be_ctor, self.opts))

@@ -719,6 +719,10 @@ class ArrowBackend:
                     ex2 = jnp.where(
                         ex == 0.0, self.root_escalation_base,
                         ex * self.root_escalation_growth).astype(fd)
+                    # clamp so the configured max is the LAST rung tried,
+                    # never overshot by a growth factor
+                    ex2 = jnp.minimum(
+                        ex2, jnp.asarray(self.root_escalation_max, fd))
                     Sinv2, ok2 = _root_factor(ex2)
                     return ex2, Sinv2, ok2
 

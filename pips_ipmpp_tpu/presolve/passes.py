@@ -593,8 +593,9 @@ def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
         src[better] = rows[better]
         return np.minimum(best, cand)
 
-    n_eq_scopes = len(V.eq_scopes(pd))
-    scopes = ([(s, b, b) for (s, b, _b) in V.eq_scopes(pd)]
+    eqs = V.eq_scopes(pd)
+    n_eq_scopes = len(eqs)
+    scopes = ([(s, b, b) for (s, b, _b) in eqs]
               + list(V.ineq_scopes(pd)))
     n0, nv = pd.c0.size, pd.cN.shape[1]
     for si, (scope, lo_r, up_r) in enumerate(scopes):
