@@ -151,6 +151,15 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.ipm.solver import IPMSolver
             from pips_ipmpp_tpu.linalg.hier_backend import (
                 HierArrowBackend, build_hierarchical_lp)
+            if self.options.hierarchical_layers != 2:
+                # no silent no-op: the reference recurses splitTree for
+                # HIERARCHICAL_APPROACH_N_LAYERS > 2
+                # (DistributedTreeCallbacks.C:1123); this backend
+                # implements the (default) 2-layer scheme only
+                raise NotImplementedError(
+                    "hierarchical_layers="
+                    f"{self.options.hierarchical_layers}: only the "
+                    "2-layer hierarchical scheme is implemented")
             ng = self.options.hierarchical_num_groups or _auto_groups(lp.N)
             self._orig_link_dims = (lp.mEl, lp.mIl)
             lp, self._hier_meta = build_hierarchical_lp(lp, ng)
@@ -259,12 +268,53 @@ class PIPSIPMppTPUInterface:
     # original-space matvecs (numpy, off the hot path — used by the
     # cons-value/residual gathers the way the reference combines gathered
     # residuals with problem data, PIPSIPMppInterface.cpp:337-384)
+    @staticmethod
+    def _flatcat(first, blocks, link=None) -> np.ndarray:
+        """[first | blocks.flat | link] where `blocks` is either a batched
+        [N, k] array (uniform ArrowheadLP) or a tuple of per-bucket batched
+        arrays (BucketedArrowheadLP)."""
+        parts = [np.asarray(first, np.float64).reshape(-1)]
+        if isinstance(blocks, (tuple, list)):
+            parts += [np.asarray(b, np.float64).reshape(-1) for b in blocks]
+        else:
+            parts.append(np.asarray(blocks, np.float64).reshape(-1))
+        if link is not None:
+            parts.append(np.asarray(link, np.float64).reshape(-1))
+        return np.concatenate(parts)
+
+    @staticmethod
+    def _blocks_op(blocks, factors, op):
+        """Elementwise op between a blocks part and matching scale factors;
+        both are tuples (bucketed) or batched arrays (uniform)."""
+        if isinstance(blocks, (tuple, list)):
+            return tuple(op(np.asarray(b, np.float64), np.asarray(f))
+                         for b, f in zip(blocks, factors))
+        return op(np.asarray(blocks, np.float64), np.asarray(factors))
+
     def _split_x(self, xflat: np.ndarray):
         lp = self.lp
+        if _is_bucketed(lp):
+            xN, off = [], lp.n0
+            for b in lp.buckets:
+                xN.append(xflat[off:off + b.N * b.n].reshape(b.N, b.n))
+                off += b.N * b.n
+            return xflat[:lp.n0], xN
         return xflat[:lp.n0], xflat[lp.n0:].reshape(lp.N, lp.n)
 
     def _arrow_Ax(self, x0, xN) -> np.ndarray:
         lp = self.lp
+        if _is_bucketed(lp):
+            lp0 = lp.buckets[0]     # first-stage/link data shared
+            r0 = np.asarray(lp0.A0, np.float64) @ x0
+            rl = np.asarray(lp0.F0, np.float64) @ x0
+            rNs = []
+            for b, xb in zip(lp.buckets, xN):
+                A, B = (np.asarray(b.A, np.float64),
+                        np.asarray(b.B, np.float64))
+                rNs.append(A @ x0 + np.einsum("nij,nj->ni", B, xb))
+                rl = rl + np.einsum("nij,nj->i",
+                                    np.asarray(b.F, np.float64), xb)
+            return self._flatcat(r0, rNs, rl)
         A0, A, B = (np.asarray(lp.A0, np.float64), np.asarray(lp.A, np.float64),
                     np.asarray(lp.B, np.float64))
         F0, F = np.asarray(lp.F0, np.float64), np.asarray(lp.F, np.float64)
@@ -275,6 +325,18 @@ class PIPSIPMppTPUInterface:
 
     def _arrow_Cx(self, x0, xN) -> np.ndarray:
         lp = self.lp
+        if _is_bucketed(lp):
+            lp0 = lp.buckets[0]
+            r0 = np.asarray(lp0.C0, np.float64) @ x0
+            rl = np.asarray(lp0.G0, np.float64) @ x0
+            rNs = []
+            for b, xb in zip(lp.buckets, xN):
+                C, D = (np.asarray(b.C, np.float64),
+                        np.asarray(b.D, np.float64))
+                rNs.append(C @ x0 + np.einsum("nij,nj->ni", D, xb))
+                rl = rl + np.einsum("nij,nj->i",
+                                    np.asarray(b.G, np.float64), xb)
+            return self._flatcat(r0, rNs, rl)
         C0, C, D = (np.asarray(lp.C0, np.float64), np.asarray(lp.C, np.float64),
                     np.asarray(lp.D, np.float64))
         G0, G = np.asarray(lp.G0, np.float64), np.asarray(lp.G, np.float64)
@@ -317,13 +379,13 @@ class PIPSIPMppTPUInterface:
     def _gather_row_dual(self, vec, which: str, factors) -> np.ndarray:
         """Unpermute (hier layout -> flat), then unscale, then flatten."""
         first = np.asarray(vec.first, np.float64)
-        blocks = np.asarray(vec.blocks, np.float64)
+        blocks = vec.blocks
         link = self._unpermute_link(np.asarray(vec.link, np.float64), which)
         if factors is not None:
             first = first * np.asarray(factors.first)
-            blocks = blocks * np.asarray(factors.blocks)
+            blocks = self._blocks_op(blocks, factors.blocks, np.multiply)
             link = link * np.asarray(factors.link)
-        return np.concatenate([first, blocks.reshape(-1), link])
+        return self._flatcat(first, blocks, link)
 
     def gatherDualSolutionEq(self) -> np.ndarray:
         self._require_result()
@@ -365,11 +427,12 @@ class PIPSIPMppTPUInterface:
             v = np.asarray(vec, np.float64)
             return v * np.asarray(self._scaler.s) if self._scaler else v
         first = np.asarray(vec.first, np.float64)
-        blocks = np.asarray(vec.blocks, np.float64)
+        blocks = vec.blocks
         if self._scaler is not None:
             first = first * np.asarray(self._scaler.s.first)
-            blocks = blocks * np.asarray(self._scaler.s.blocks)
-        return np.concatenate([first, blocks.reshape(-1)])
+            blocks = self._blocks_op(blocks, self._scaler.s.blocks,
+                                     np.multiply)
+        return self._flatcat(first, blocks)
 
     def _gather_row_gap(self, vec, which: str) -> np.ndarray:
         """ineq-row-space gap (t or u): unscale = divide by the row factors
@@ -378,7 +441,7 @@ class PIPSIPMppTPUInterface:
             v = np.asarray(vec, np.float64)
             return v / np.asarray(self._scaler.rC) if self._scaler else v
         first = np.asarray(vec.first, np.float64)
-        blocks = np.asarray(vec.blocks, np.float64)
+        blocks = vec.blocks
         link = self._unpermute_link(np.asarray(vec.link, np.float64), which)
         if self._scaler is not None:
             # the scaler ran BEFORE the hierarchical transform, so its
@@ -386,9 +449,9 @@ class PIPSIPMppTPUInterface:
             # iterate's link vector needed unpermuting
             rc = self._scaler.rC
             first = first / np.asarray(rc.first)
-            blocks = blocks / np.asarray(rc.blocks)
+            blocks = self._blocks_op(blocks, rc.blocks, np.divide)
             link = link / np.asarray(rc.link, np.float64)
-        return np.concatenate([first, blocks.reshape(-1), link])
+        return self._flatcat(first, blocks, link)
 
     def _gather_bound_dual(self, vec) -> np.ndarray:
         """x-space bound dual (gamma or phi): unscale = divide by the
@@ -397,11 +460,12 @@ class PIPSIPMppTPUInterface:
             v = np.asarray(vec, np.float64)
             return v / np.asarray(self._scaler.s) if self._scaler else v
         first = np.asarray(vec.first, np.float64)
-        blocks = np.asarray(vec.blocks, np.float64)
+        blocks = vec.blocks
         if self._scaler is not None:
             first = first / np.asarray(self._scaler.s.first)
-            blocks = blocks / np.asarray(self._scaler.s.blocks)
-        return np.concatenate([first, blocks.reshape(-1)])
+            blocks = self._blocks_op(blocks, self._scaler.s.blocks,
+                                     np.divide)
+        return self._flatcat(first, blocks)
 
     def _orig_var_bounds(self):
         """(ixlow, xlow, ixupp, xupp) flattened in the original space."""
@@ -411,6 +475,12 @@ class PIPSIPMppTPUInterface:
                     np.asarray(lp.xlow, np.float64),
                     np.asarray(lp.ixupp, np.float64),
                     np.asarray(lp.xupp, np.float64))
+        if _is_bucketed(lp):
+            lp0 = lp.buckets[0]
+            return (self._flatcat(lp0.ixlow0, [b.ixlowN for b in lp.buckets]),
+                    self._flatcat(lp0.xlow0, [b.xlowN for b in lp.buckets]),
+                    self._flatcat(lp0.ixupp0, [b.ixuppN for b in lp.buckets]),
+                    self._flatcat(lp0.xupp0, [b.xuppN for b in lp.buckets]))
         cat = lambda a, b: np.concatenate(
             [np.asarray(a, np.float64), np.asarray(b, np.float64).reshape(-1)])
         return (cat(lp.ixlow0, lp.ixlowN), cat(lp.xlow0, lp.xlowN),
@@ -424,6 +494,16 @@ class PIPSIPMppTPUInterface:
                     np.asarray(lp.clow, np.float64),
                     np.asarray(lp.icupp, np.float64),
                     np.asarray(lp.cupp, np.float64))
+        if _is_bucketed(lp):
+            lp0 = lp.buckets[0]
+            return (self._flatcat(lp0.iclow0,
+                                  [b.iclowN for b in lp.buckets], lp0.iclowl),
+                    self._flatcat(lp0.clow0,
+                                  [b.clowN for b in lp.buckets], lp0.clowl),
+                    self._flatcat(lp0.icupp0,
+                                  [b.icuppN for b in lp.buckets], lp0.icuppl),
+                    self._flatcat(lp0.cupp0,
+                                  [b.cuppN for b in lp.buckets], lp0.cuppl))
         cat3 = lambda a, b, c: np.concatenate(
             [np.asarray(a, np.float64), np.asarray(b, np.float64).reshape(-1),
              np.asarray(c, np.float64)])
@@ -486,6 +566,35 @@ class PIPSIPMppTPUInterface:
             return (np.asarray(lp.c, np.float64)
                     - np.asarray(lp.A, np.float64).T @ y
                     - np.asarray(lp.C, np.float64).T @ z)
+        if _is_bucketed(lp):
+            it = self.result.iterate
+            lp0 = lp.buckets[0]
+            y0 = np.asarray(it.y.first, np.float64)
+            yl = np.asarray(it.y.link, np.float64)
+            z0 = np.asarray(it.z.first, np.float64)
+            zl = np.asarray(it.z.link, np.float64)
+            g0 = (np.asarray(lp0.A0, np.float64).T @ y0
+                  + np.asarray(lp0.F0, np.float64).T @ yl
+                  + np.asarray(lp0.C0, np.float64).T @ z0
+                  + np.asarray(lp0.G0, np.float64).T @ zl)
+            gN = []
+            for b, yb, zb in zip(lp.buckets, it.y.blocks, it.z.blocks):
+                yb = np.asarray(yb, np.float64)
+                zb = np.asarray(zb, np.float64)
+                g0 = g0 + (np.einsum("nij,ni->j",
+                                     np.asarray(b.A, np.float64), yb)
+                           + np.einsum("nij,ni->j",
+                                       np.asarray(b.C, np.float64), zb))
+                gN.append(np.einsum("nij,ni->nj",
+                                    np.asarray(b.B, np.float64), yb)
+                          + np.einsum("nij,i->nj",
+                                      np.asarray(b.F, np.float64), yl)
+                          + np.einsum("nij,ni->nj",
+                                      np.asarray(b.D, np.float64), zb)
+                          + np.einsum("nij,i->nj",
+                                      np.asarray(b.G, np.float64), zl))
+            c = self._flatcat(lp0.c0, [b.cN for b in lp.buckets])
+            return c - self._flatcat(g0, gN)
         y0, yN, yl = (y[:lp.m0E], y[lp.m0E:lp.m0E + lp.N * lp.mE]
                       .reshape(lp.N, lp.mE), y[lp.m0E + lp.N * lp.mE:])
         z0, zN, zl = (z[:lp.m0I], z[lp.m0I:lp.m0I + lp.N * lp.mI]
@@ -573,6 +682,10 @@ class PIPSIPMppTPUInterface:
         lp = self.lp
         if isinstance(lp, DenseLP):
             return ax - np.asarray(lp.b, np.float64)
+        if _is_bucketed(lp):
+            b = self._flatcat(lp.buckets[0].b0,
+                              [bk.bN for bk in lp.buckets], lp.buckets[0].bl)
+            return ax - b
         b = np.concatenate([np.asarray(lp.b0, np.float64),
                             np.asarray(lp.bN, np.float64).reshape(-1),
                             np.asarray(lp.bl, np.float64)])
@@ -610,7 +723,8 @@ class PIPSIPMppTPUInterface:
         lp = self.lp
         if isinstance(lp, DenseLP):
             return float(np.dot(np.asarray(lp.c, np.float64), x))
-        return float(np.dot(np.asarray(lp.c0, np.float64), x[:lp.n0]))
+        c0 = lp.buckets[0].c0 if _is_bucketed(lp) else lp.c0
+        return float(np.dot(np.asarray(c0, np.float64), x[:lp.n0]))
 
     def getFirstStagePrimalColSolution(self) -> np.ndarray:
         """x0 (reference :419-422)."""
@@ -626,6 +740,11 @@ class PIPSIPMppTPUInterface:
         if isinstance(lp, DenseLP):
             raise TypeError("second-stage solution requires ArrowheadLP")
         x = self.gatherPrimalSolution()
+        if _is_bucketed(lp):
+            bi, pos = lp.placement[scen]
+            off = lp.n0 + sum(b.N * b.n for b in lp.buckets[:bi])
+            nb = lp.buckets[bi].n
+            return x[off + pos * nb: off + (pos + 1) * nb]
         return x[lp.n0 + scen * lp.n: lp.n0 + (scen + 1) * lp.n]
 
     def printComplementarityResiduals(self) -> dict:

@@ -208,7 +208,6 @@ class ArrowBackend:
     def __init__(self, lp: ArrowheadLP, factor_dtype=jnp.float64,
                  axis: Optional[str] = None,
                  explicit_inverse: Optional[bool] = None,
-                 pallas_chol: bool = False,
                  ldl_kernel: Optional[bool] = None,
                  blockwise_sc: int = 0,
                  dist_root: bool = False,
@@ -234,7 +233,6 @@ class ArrowBackend:
         if explicit_inverse is None:
             explicit_inverse = (jnp.dtype(factor_dtype) == jnp.float32)
         self.explicit_inverse = explicit_inverse
-        self.pallas_chol = pallas_chol
         # fused Pallas LDL^T+inverse kernel for the leaf and root factors
         # (pallas_ldl.py) — the f32 TPU production path; f64 keeps the XLA
         # cholesky path (CPU oracle tests)
@@ -414,11 +412,7 @@ class ArrowBackend:
             L = jnp.zeros((), fd)
             leaf_ok = jnp.all(jnp.isfinite(Ninv)) & jnp.all(df > 0.0)
             return L, Ninv, leaf_ok
-        if self.pallas_chol and Neq.dtype == jnp.float32 and a % 64 == 0:
-            from pips_ipmpp_tpu.linalg.pallas_chol import batched_cholesky
-            L = batched_cholesky(Neq)
-        else:
-            L = jnp.linalg.cholesky(Neq)                   # [N, a, a]
+        L = jnp.linalg.cholesky(Neq)                       # [N, a, a]
         if self.explicit_inverse:
             eye_a = jnp.broadcast_to(jnp.eye(a, dtype=fd), (lp.N, a, a))
             Ninv = _bchol_solve(L, eye_a)
@@ -946,8 +940,12 @@ class ArrowBackend:
             # adaptive iterative refinement on the f64 augmented residual
             # (absorbs f32 factorization error; the role of
             # solveCompressedIterRefin, LinearSystem.C:877)
-            rhs_norm = jnp.maximum(self._psum(
-                jnp.max(jnp.abs(rho_x)) if rho_x.size else 0.0),
+            shard_max = (jnp.max(jnp.abs(rho_x)) if rho_x.size
+                         else jnp.zeros((), p0.dtype))
+            if self.axis is not None:
+                shard_max = jax.lax.pmax(shard_max, self.axis)
+            rhs_norm = jnp.maximum(
+                shard_max,
                 jnp.maximum(jnp.max(jnp.abs(p0)) if p0.size else 0.0,
                             jnp.max(jnp.abs(q0)) if q0.size else 0.0))
             rhs_norm = jnp.maximum(rhs_norm, 1e-30)

@@ -224,7 +224,6 @@ class BandArrowBackend(ArrowBackend):
         # the band path owns the leaf; disable the dense leaf kernels
         self.ldl_kernel = False
         self.sweep_kernel = False
-        self.pallas_chol = False
         self.explicit_inverse = False
         self.plan = plan
         self._perm = jnp.asarray(plan.perm)

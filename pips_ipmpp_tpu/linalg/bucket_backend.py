@@ -286,9 +286,14 @@ class BucketedArrowBackend:
             def mx(x):
                 return jnp.max(jnp.abs(x)) if x.size else jnp.zeros((), x.dtype)
 
+            # max (not sum) across buckets + pmax across the mesh, matching
+            # ArrowBackend.solve_reduced so the 1e-11*rhs_norm refinement
+            # exit threshold keeps the same meaning on the bucketed path
+            blk_max = jnp.zeros((), p0.dtype)
+            for r in rho_x:
+                blk_max = jnp.maximum(blk_max, mx(r))
             rhs_norm = jnp.maximum(
-                jnp.maximum(mx(p0), mx(q0)),
-                self._psum(sum(mx(r) for r in rho_x)))
+                jnp.maximum(mx(p0), mx(q0)), self._pmax_scalar(blk_max))
             rhs_norm = jnp.maximum(rhs_norm, 1e-30)
 
             def resid_norm(st):

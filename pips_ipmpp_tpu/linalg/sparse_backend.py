@@ -89,7 +89,6 @@ class SparseArrowBackend(ArrowBackend):
                              "streams; caches are O(n * nS) only")
         # leaf-factor switches are meaningless here; the root keeps the
         # fused-LDL/explicit-inverse defaults of the dense backend
-        kwargs.pop("pallas_chol", None)
         super().__init__(lp, factor_dtype=factor_dtype, axis=axis, **kwargs)
         self.cg_iters = cg_iters
         if cg_tol == 0.0:

@@ -174,3 +174,48 @@ def test_bucketed_through_interface(hetero_pair):
                                                  abs=1e-6, rel=1e-6)
     x = iface.gatherPrimalSolution()
     assert x.shape[0] == blp.n0 + sum(b.N * b.n for b in blp.buckets)
+
+
+def test_bucketed_gather_api(hetero_pair):
+    """All facade gathers work on bucketed LPs and satisfy the KKT
+    conditions of the original heterogeneous problem (the ADVICE round-3
+    crash: _split_x/_arrow_Ax assumed uniform ArrowheadLP fields)."""
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    blp, lp_flat = hetero_pair
+    iface = PIPSIPMppTPUInterface(blp, Options(max_iterations=80))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    flat = PIPSIPMppTPUInterface(lp_flat, Options(max_iterations=80))
+    assert flat.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    # first stage matches the uniform-padded solve
+    np.testing.assert_allclose(iface.getFirstStagePrimalColSolution(),
+                               flat.getFirstStagePrimalColSolution(),
+                               atol=1e-4)
+    assert iface.getFirstStageObjective() == pytest.approx(
+        flat.getFirstStageObjective(), abs=1e-6)
+    # per-scenario solutions match on the TRUE (unpadded) entries
+    for scen, (n, _, _) in enumerate(SIZES):
+        xs_b = iface.getSecondStagePrimalColSolution(scen)[:n]
+        xs_f = flat.getSecondStagePrimalColSolution(scen)[:n]
+        np.testing.assert_allclose(xs_b, xs_f, atol=1e-4)
+
+    # primal feasibility in the original space
+    assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
+    assert np.max(np.abs(iface.gatherPrimalResidsIneqLow())) < 1e-6
+    assert np.max(np.abs(iface.gatherPrimalResidsIneqUp())) < 1e-6
+    # dual feasibility: Lagrangian gradient ~ 0
+    assert np.max(np.abs(iface.gatherDualResids())) < 1e-5
+    # complementarity products ~ mu
+    norms = iface.printComplementarityResiduals()
+    assert all(v < 1e-5 for v in norms.values())
+    # cons-value gathers have consistent shapes
+    lp0 = blp.buckets[0]
+    mE_tot = (lp0.b0.shape[0] + sum(b.N * b.mE for b in blp.buckets)
+              + lp0.bl.shape[0])
+    assert iface.gatherEqualityConsValues().shape[0] == mE_tot
+    assert iface.gatherDualSolutionEq().shape[0] == mE_tot
+    # slack/bound-dual gathers
+    x = iface.gatherPrimalSolution()
+    assert iface.gatherSlacksVarsLow().shape == x.shape
+    assert iface.gatherDualSolutionVarBounds().shape == x.shape
