@@ -55,7 +55,22 @@ if not _backend_alive():
         "unit": "iter/s", "vs_baseline": 0.0,
         "error": "jax backend init failed/hung (axon tunnel down?) — "
                  "no measurement taken"}))
-    sys.exit(0)
+    sys.exit(3)   # distinct code: environment failure, not a slow bench
+
+
+def _retry(fn, attempts=3, backoff=(10.0, 30.0)):
+    """Run fn() with retries: transient tunnel failures (remote_compile
+    read-body errors) must never cost a recorded number (round-3 lesson:
+    one unretried INTERNAL error lost the 512-blk config for the round)."""
+    last = None
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:      # noqa: BLE001 — retried, then re-raised
+            last = e
+            if k < attempts - 1:
+                time.sleep(backoff[min(k, len(backoff) - 1)])
+    raise last
 
 import jax
 import jax.numpy as jnp
@@ -140,16 +155,16 @@ def main():
     fallback_note = None
     try:
         solver = IPMSolver(partial(ArrowBackend, **be_kw), opts)
-        iters, sustained, single_s, it1 = _run_config(
-            solver, _stream_lps(lp, STREAM))
+        iters, sustained, single_s, it1 = _retry(lambda: _run_config(
+            solver, _stream_lps(lp, STREAM)))
     except Exception as e:
         fallback_note = f"production config failed ({str(e)[:80]}); " \
                         "conservative fallback measured instead"
         opts = Options(max_gondzio_correctors=1)
         be_kw = dict(factor_dtype=dtype)
         solver = IPMSolver(partial(ArrowBackend, **be_kw), opts)
-        iters, sustained, single_s, it1 = _run_config(
-            solver, _stream_lps(lp, STREAM))
+        iters, sustained, single_s, it1 = _retry(lambda: _run_config(
+            solver, _stream_lps(lp, STREAM)))
     value = iters / sustained
 
     fpi = _flops_per_iter(SHAPE["N"], SHAPE["n"], SHAPE["mE"], SHAPE["mI"],
@@ -174,29 +189,45 @@ def main():
     if fallback_note:
         out["note"] = fallback_note
 
+    def _side_config(key, seed, sh, stream=4, mfu=False):
+        """Measure one side config with retries; never lose the headline
+        to a side config, but record errors distinctly."""
+        try:
+            def run():
+                lpc = scaler.scale(random_arrowhead_lp(seed, dtype=dtype,
+                                                       **sh))
+                sv = IPMSolver(partial(ArrowBackend, **be_kw), opts)
+                return _run_config(sv, _stream_lps(lpc, stream))
+            itc, susc, singc, _ = _retry(run)
+            entry = {"iter_s": round(itc / susc, 1),
+                     "tto_ms": round(singc * 1e3, 1)}
+            if mfu:
+                fpi_c = _flops_per_iter(sh["N"], sh["n"], sh["mE"],
+                                        sh["mI"], sh["n0"], sh["mEl"],
+                                        sh["mIl"])
+                tf = fpi_c * itc / susc / 1e12
+                entry["analytic_tflops_per_s"] = round(tf, 3)
+                entry["mfu_pct_f32_highest"] = round(
+                    100.0 * tf / (peak / 6.0), 2)
+            out[key] = entry
+        except Exception as e:
+            out[key] = {"error": str(e)[:120]}
+
     # ---- scale config: 512 blocks x 128 vars (BASELINE.json config #4) --
-    try:
-        sh = dict(N=512, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
-                  mEl=16, mIl=16)
-        lp2 = scaler.scale(random_arrowhead_lp(1, dtype=dtype, **sh))
-        s2 = IPMSolver(partial(ArrowBackend, **be_kw), opts)
-        it2, sus2, sing2, _ = _run_config(s2, _stream_lps(lp2, 4))
-        out["cfg_512blk_128v"] = {"iter_s": round(it2 / sus2, 1),
-                                  "tto_ms": round(sing2 * 1e3, 1)}
-    except Exception as e:   # never lose the headline to a side config
-        out["cfg_512blk_128v"] = {"error": str(e)[:120]}
+    _side_config("cfg_512blk_128v", 1,
+                 dict(N=512, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
+                      mEl=16, mIl=16))
 
     # ---- linking-dominated config: Schur size nS = 448 ----
-    try:
-        sh = dict(N=32, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
-                  mEl=192, mIl=192)
-        lp3 = scaler.scale(random_arrowhead_lp(2, dtype=dtype, **sh))
-        s3 = IPMSolver(partial(ArrowBackend, **be_kw), opts)
-        it3, sus3, sing3, _ = _run_config(s3, _stream_lps(lp3, 4))
-        out["cfg_linkdom_nS448"] = {"iter_s": round(it3 / sus3, 1),
-                                    "tto_ms": round(sing3 * 1e3, 1)}
-    except Exception as e:
-        out["cfg_linkdom_nS448"] = {"error": str(e)[:120]}
+    _side_config("cfg_linkdom_nS448", 2,
+                 dict(N=32, n=128, mE=64, mI=64, n0=64, m0E=16, m0I=16,
+                      mEl=192, mIl=192))
+
+    # ---- big-leaf config: factorize FLOPs dominate dispatch latency ----
+    # (round-3 verdict #1b: benchmark at shapes where the MXU can matter)
+    _side_config("cfg_bigleaf_64blk_1024v", 3,
+                 dict(N=64, n=1024, mE=512, mI=512, n0=64, m0E=32, m0I=32,
+                      mEl=32, mIl=32), stream=4, mfu=True)
 
     nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_NOMINAL.json")
@@ -213,9 +244,9 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception as exc:   # always leave a parseable artifact
+    except Exception as exc:   # always leave a parseable artifact...
         print(json.dumps({
             "metric": "ipm_iterations_per_s_64blk_256v", "value": 0.0,
             "unit": "iter/s", "vs_baseline": 0.0,
             "error": f"bench failed: {type(exc).__name__}: {str(exc)[:160]}"}))
-        sys.exit(0)
+        sys.exit(3)   # ...but exit nonzero: a broken build is not a success

@@ -35,6 +35,7 @@ def main(argv=None) -> int:
     if argv[0] == "--check":
         # block-file consistency check (the reference's gmspipschk)
         return check_blocks(argv[1], int(argv[2]) if len(argv) > 2 else None)
+    dmap = None
     if argv[0] == "--mps":
         from pips_ipmpp_tpu.io.mps import read_mps
         lp = read_mps(argv[1])
@@ -44,7 +45,6 @@ def main(argv=None) -> int:
         # (core/dissect.py) so un-annotated MPS models run on the batched
         # structured path — a capability gmspips does not have (it needs
         # GAMS block annotations)
-        dmap = None
         if "--auto-blocks" in flags:
             i = flags.index("--auto-blocks")
             if i + 1 >= len(flags) or not flags[i + 1].isdigit():
@@ -114,10 +114,21 @@ def main(argv=None) -> int:
 
     if printsol and status == TerminationStatus.SUCCESSFUL_TERMINATION:
         from pips_ipmpp_tpu.io.blockfile import write_solution
-        write_solution(stem, iface.gatherPrimalSolution(),
-                       iface.gatherDualSolutionEq(),
-                       iface.gatherDualSolutionIneq(),
-                       iface.getObjective())
+        x = iface.gatherPrimalSolution()
+        y = iface.gatherDualSolutionEq()
+        z = iface.gatherDualSolutionIneq()
+        if dmap is not None:
+            # --auto-blocks permuted + padded the LP; map the solution
+            # back to the original MPS column/row order (DissectMap)
+            x = dmap.recover_x(x[:lp.n0],
+                               x[lp.n0:].reshape(lp.N, lp.n))
+            nE = lp.m0E + lp.N * lp.mE
+            y = dmap.recover_eq_rows(
+                y[:lp.m0E], y[lp.m0E:nE].reshape(lp.N, lp.mE), y[nE:])
+            nI = lp.m0I + lp.N * lp.mI
+            z = dmap.recover_ineq_rows(
+                z[:lp.m0I], z[lp.m0I:nI].reshape(lp.N, lp.mI), z[nI:])
+        write_solution(stem, x, y, z, iface.getObjective())
         print(f"solution written to {stem}_solution.npz")
 
     return 0 if status == TerminationStatus.SUCCESSFUL_TERMINATION else 1

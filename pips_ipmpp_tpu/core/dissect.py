@@ -30,6 +30,7 @@ import numpy as np
 from pips_ipmpp_tpu.core.lp import ArrowheadLP, DenseLP, make_arrowhead_lp
 
 FIRST = -1
+LINK = -2
 
 
 @dataclasses.dataclass
@@ -52,6 +53,26 @@ class DissectMap:
         for v, (blk, j) in enumerate(self.col_place):
             x[v] = x0[j] if blk == FIRST else xN[blk][j]
         return x
+
+    @staticmethod
+    def _recover_rows(place, first, blocks, link) -> np.ndarray:
+        out = np.zeros(len(place), dtype=np.float64)
+        for r, (blk, i) in enumerate(place):
+            if blk == FIRST:
+                out[r] = first[i]
+            elif blk == LINK:
+                out[r] = link[i]
+            else:
+                out[r] = blocks[blk][i]
+        return out
+
+    def recover_eq_rows(self, first, blocks, link) -> np.ndarray:
+        """Original-order eq-row vector from (first, [N][mE], link) parts
+        (duals or residuals)."""
+        return self._recover_rows(self.eq_place, first, blocks, link)
+
+    def recover_ineq_rows(self, first, blocks, link) -> np.ndarray:
+        return self._recover_rows(self.ineq_place, first, blocks, link)
 
 
 def _column_chunks(K, n: int, num_blocks: int) -> np.ndarray:
@@ -172,11 +193,11 @@ def dissect(lp: DenseLP, num_blocks: int,
     for i, r in enumerate(eq0):
         eq_place[r] = (FIRST, i)
     for i, r in enumerate(eql):
-        eq_place[r] = (-2, i)
+        eq_place[r] = (LINK, i)
     for i, r in enumerate(iq0):
         ineq_place[r] = (FIRST, i)
     for i, r in enumerate(iql):
-        ineq_place[r] = (-2, i)
+        ineq_place[r] = (LINK, i)
 
     ixlow = np.asarray(lp.ixlow, np.float64)
     xlow = np.asarray(lp.xlow, np.float64)

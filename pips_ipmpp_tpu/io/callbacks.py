@@ -74,7 +74,11 @@ class InputTree:
         oversized blocks at intake (core/dissect.refine_blocks);
         `bucketed` groups heterogeneous block sizes into MXU-quantized
         buckets (core/bucketed.py) instead of padding to the global max.
-        Returns ArrowheadLP, or BucketedArrowheadLP when `bucketed`."""
+        Returns ArrowheadLP, or BucketedArrowheadLP when `bucketed`.
+
+        When blocks were split, `self.refine_placement[i]` holds the
+        (new_block | FIRST, local_index) per original block-i variable so
+        callers can map solutions back to the pre-split ordering."""
         mEl, mIl = self.n_linking_eq, self.n_linking_ineq
 
         def mat(cb, blk_id, m, n):
@@ -140,9 +144,11 @@ class InputTree:
             "cupp": (np.asarray(self.vec_dlupp(), np.float64)
                      if self.vec_dlupp else np.zeros(mIl)),
         }
+        self.refine_placement = None
         if max_block_vars is not None:
             from pips_ipmpp_tpu.core.dissect import refine_blocks
-            blocks, first, _ = refine_blocks(blocks, first, max_block_vars)
+            blocks, first, self.refine_placement = refine_blocks(
+                blocks, first, max_block_vars)
         if bucketed:
             from pips_ipmpp_tpu.core.bucketed import \
                 make_bucketed_arrowhead_lp

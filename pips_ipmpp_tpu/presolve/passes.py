@@ -782,7 +782,110 @@ def singleton_columns(pd: PresolveData) -> int:
             xu[j] = 1.0
             active[j] = False
             n += 1
+
+    # ---- inequality-row singletons (reference
+    # StochPresolverSingletonColumns.C:200-290 removeSingletonColumn
+    # inequality branch; removeFreeColumnSingletonInequalityRow,
+    # PresolveData.C:2042-2095) ----
+    for vb in [FIRST] + list(range(pd.N)):
+        c, ixl, xl, ixu, xu, active = pd.var_arrays(vb)
+        if vb == FIRST:
+            cand = active & (cnt_eq0 == 0) & (cnt_iq0 == 1)
+        else:
+            cand = active & (cnt_eqN[vb] == 0) & (cnt_iqN[vb] == 1)
+        for j in np.nonzero(cand)[0]:
+            j = int(j)
+            if pd.eq_column(vb, j):     # re-validate after earlier subs
+                continue
+            iq = pd.ineq_column(vb, j)
+            if len(iq) != 1:
+                continue
+            rb, r, a = iq[0]
+            il, lo, iu, up = _ineq_bounds(pd, rb, r)
+            if (il > 0) == (iu > 0):
+                # two-sided (incl. clow == cupp) or vacuous row: the
+                # reference routes clow == cupp through the equality
+                # machinery; we leave both to other passes
+                continue
+            # convert to <=-form: clow <= Cx  ==  -Cx <= -clow
+            coeff_le = a if iu > 0 else -a
+            cj = float(c[j])
+            if coeff_le > 0 and cj >= 0:
+                # decreasing x_j loosens the row AND improves the
+                # objective: optimal at the lower bound (or free)
+                if ixl[j] > 0:
+                    pd.fix_variable(vb, j, float(xl[j]), "ineq_singleton")
+                    n += 1
+                elif cj == 0.0:
+                    _remove_free_ineq_singleton(pd, vb, j, rb, r, a,
+                                                bool(iu > 0))
+                    n += 1
+                # cj > 0 with no lower bound: LP is unbounded
+                # (reference aborts); leave for the IPM to diagnose
+            elif coeff_le < 0 and cj <= 0:
+                if ixu[j] > 0:
+                    pd.fix_variable(vb, j, float(xu[j]), "ineq_singleton")
+                    n += 1
+                elif cj == 0.0:
+                    _remove_free_ineq_singleton(pd, vb, j, rb, r, a,
+                                                bool(iu > 0))
+                    n += 1
     return n
+
+
+def _ineq_bounds(pd: PresolveData, blk, r):
+    if blk == FIRST:
+        return (float(pd.iclow0[r]), float(pd.clow0[r]),
+                float(pd.icupp0[r]), float(pd.cupp0[r]))
+    if blk == LINK:
+        return (float(pd.iclowl[r]), float(pd.clowl[r]),
+                float(pd.icuppl[r]), float(pd.cuppl[r]))
+    return (float(pd.iclowN[blk, r]), float(pd.clowN[blk, r]),
+            float(pd.icuppN[blk, r]), float(pd.cuppN[blk, r]))
+
+
+def _ineq_row_coeffs(pd, blk, r):
+    if blk == FIRST:
+        return [(FIRST, int(j), float(pd.C0[r, j]))
+                for j in np.nonzero(pd.C0[r])[0]]
+    if blk == LINK:
+        out = [(FIRST, int(j), float(pd.G0[r, j]))
+               for j in np.nonzero(pd.G0[r])[0]]
+        for i in range(pd.N):
+            out += [(i, int(j), float(pd.G[i][r, j]))
+                    for j in np.nonzero(pd.G[i][r])[0]]
+        return out
+    out = [(FIRST, int(j), float(pd.C[blk][r, j]))
+           for j in np.nonzero(pd.C[blk][r])[0]]
+    out += [(blk, int(j), float(pd.D[blk][r, j]))
+            for j in np.nonzero(pd.D[blk][r])[0]]
+    return out
+
+
+def _remove_free_ineq_singleton(pd: PresolveData, vb, j, rb, r, a,
+                                has_upp: bool):
+    """Free (unbounded on the loosening side) singleton column in a
+    one-sided inequality row: x_j can always absorb the row, and with a
+    zero objective coefficient both the row and the column vanish
+    (reference removeFreeColumnSingletonInequalityRow, PresolveData.C:
+    2042-2095).  Postsolve sets x_j to make the row active (clamped into
+    the variable's surviving one-sided box); the row dual is 0."""
+    row_coeffs = _ineq_row_coeffs(pd, rb, r)
+    il, lo, iu, up = _ineq_bounds(pd, rb, r)
+    c, ixl, xl, ixu, xu, active = pd.var_arrays(vb)
+    pd.emit("FREE_SINGLETON_COLUMN_INEQ", vb=vb, j=j, a=a,
+            row_blk=rb, row_idx=r, row_coeffs=row_coeffs,
+            rhs=(up if has_upp else lo),
+            ixl=float(ixl[j]), xl=float(xl[j]),
+            ixu=float(ixu[j]), xu=float(xu[j]))
+    pd.remove_ineq_row(rb, r, "free_singleton_column")
+    pd._zero_column(vb, j)
+    c[j] = 0.0
+    ixl[j] = 1.0
+    xl[j] = -1.0
+    ixu[j] = 1.0
+    xu[j] = 1.0
+    active[j] = False
 
 
 def _implied_free(pd: PresolveData, vb, j, eq_entry) -> bool:

@@ -195,6 +195,22 @@ class Postsolver:
                     continue
                 acc += ak * sol.x(kb)[kk]
             sol.x(vb)[j] = (d["b"] - acc) / a
+        elif k == "FREE_SINGLETON_COLUMN_INEQ":
+            # x_j makes its one-sided row active; clamping into the
+            # variable's surviving one-sided box only loosens the row
+            # (reference notifyFreeColumnSingletonInequalityRow replay)
+            vb, j, a = d["vb"], d["j"], d["a"]
+            acc = 0.0
+            for (kb, kk, ak) in d["row_coeffs"]:
+                if kb == vb and kk == j:
+                    continue
+                acc += ak * sol.x(kb)[kk]
+            xj = (d["rhs"] - acc) / a
+            if d["ixl"] > 0:
+                xj = max(xj, d["xl"])
+            if d["ixu"] > 0:
+                xj = min(xj, d["xu"])
+            sol.x(vb)[j] = xj
 
     def _replay_dual(self, ev, sol: Solution):
         lp = self.lp
@@ -228,6 +244,10 @@ class Postsolver:
             sol.ydual(ro[0])[ro[1]] -= y_s / d["k"]
         elif k == "SINGLETON_COLUMN":
             sol.ydual(d["row_blk"])[d["row_idx"]] = d["c"] / d["a"]
+        elif k == "FREE_SINGLETON_COLUMN_INEQ":
+            # stationarity of the removed free x_j: 0 = c_j - a z_r with
+            # c_j = 0, so the removed row's multiplier is exactly 0
+            sol.zdual(d["row_blk"])[d["row_idx"]] = 0.0
         elif k == "REMOVED_INEQ_ROW" and d["reason"] == "singleton_row":
             blk, r = d["blk"], d["r"]
             vb, j, a = d["var_blk"], d["j"], d["coef"]

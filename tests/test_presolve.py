@@ -502,3 +502,48 @@ def test_large_magnitude_substitution_cancellation_tolerated():
     lp = make_arrowhead_lp(_anchor_block_n0(2), first)
     res = Presolver().presolve(lp)
     assert not res.infeasible
+
+
+def test_singleton_column_inequality():
+    """Inequality-row singleton columns (reference
+    StochPresolverSingletonColumns.C:200-290,
+    removeFreeColumnSingletonInequalityRow PresolveData.C:2042): a FREE
+    zero-cost singleton absorbs its one-sided row and both vanish; a
+    bounded singleton whose objective and coefficient signs align is
+    fixed at the loosening bound.
+
+    min -x1 + 2 x3  s.t.  x1 + 2 x2 <= 8 (x2 free, c2=0 -> absorbed),
+    x1 + x3 <= 12 (x3 in [1,5], c3=2>0, coeff>0 -> fixed at 1),
+    x1 in [0,10].  Optimum: x1=10, x3=1, obj=-8; postsolve x2=(8-10)/2=-1.
+    (cupp=12 keeps the row non-redundant so ModelCleanup leaves it.)
+    """
+    first = dict(
+        c=np.array([-1.0, 0.0, 2.0]),
+        A=np.zeros((0, 3)), b=np.zeros(0),
+        C=np.array([[1.0, 2.0, 0.0], [1.0, 0.0, 1.0]]),
+        iclow=np.zeros(2), clow=np.zeros(2),
+        icupp=np.ones(2), cupp=np.array([8.0, 12.0]),
+        ixlow=np.array([1.0, 0.0, 1.0]), xlow=np.array([0.0, 0.0, 1.0]),
+        ixupp=np.array([1.0, 0.0, 1.0]), xupp=np.array([10.0, 0.0, 5.0]),
+        F0=np.zeros((0, 3)), G0=np.zeros((0, 3)),
+    )
+    lp = make_arrowhead_lp(_anchor_block(), first)
+
+    pres = Presolver()
+    res = pres.presolve(lp)
+    assert res.stats.get("singleton_columns", 0) >= 2   # x2 freed + x3 fixed
+
+    base = PIPSIPMppTPUInterface(lp, Options())
+    base.run()
+    iface = PIPSIPMppTPUInterface(lp, Options(presolve=PresolverType.PRESOLVE))
+    st = iface.run()
+    assert st == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(base.getObjective() - (-8.0)) < 1e-6
+    assert abs(iface.getObjective() - (-8.0)) < 1e-6
+    sol = iface._postsolve()
+    assert abs(sol.x0[0] - 10.0) < 1e-6
+    assert abs(sol.x0[1] - (-1.0)) < 1e-6    # free singleton reconstructed
+    assert abs(sol.x0[2] - 1.0) < 1e-6       # fixed at lower bound
+    resid = postsolve_residuals(lp, sol)
+    for name, v in resid.items():
+        assert v < 1e-6, f"{name}={v}"
