@@ -134,14 +134,9 @@ class PIPSIPMppTPUInterface:
                 return TerminationStatus.INFEASIBLE
             lp = self._presolve_log.lp
         if self.options.scaler != ScalerType.NONE:
-            if _is_bucketed(lp):
-                import warnings
-                warnings.warn("scaling is not yet supported for bucketed "
-                              "blocks; solving unscaled")
-            else:
-                from pips_ipmpp_tpu.scale import make_scaler
-                self._scaler = make_scaler(self.options.scaler)
-                lp = self._scaler.scale(lp)
+            from pips_ipmpp_tpu.scale import make_scaler
+            self._scaler = make_scaler(self.options.scaler)
+            lp = self._scaler.scale(lp)
         # hierarchical two-level Schur (reference switchToHierarchicalData,
         # PIPSIPMppInterface.cpp:81-89): transform last so every other
         # stage sees the flat layout
@@ -232,7 +227,9 @@ class PIPSIPMppTPUInterface:
         """Objective of the (unscaled) solution (reference
         PIPSIPMppInterface::getObjective :193-211)."""
         self._require_result()
-        if _is_bucketed(self.lp):   # unscaled by construction (see run)
+        if _is_bucketed(self.lp):
+            # diagonal (pow2) scaling leaves the LP objective value
+            # invariant, so the solver's objective is already original
             return float(self.result.objective)
         x = self.gatherPrimalSolution()
         if isinstance(self.lp, DenseLP):

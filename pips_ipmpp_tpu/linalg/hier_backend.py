@@ -179,6 +179,8 @@ class HierFactors:
     delta_d: jax.Array
     Ninv: jax.Array = ()   # explicit leaf inverse (kernel/explicit modes)
     leaf_ok: jax.Array = True
+    Wd: jax.Array = ()     # dist_root: Sdual^{-1}[:, own cols]
+    root_ok: jax.Array = True
 
 
 class HierArrowBackend(ArrowBackend):
@@ -188,13 +190,17 @@ class HierArrowBackend(ArrowBackend):
 
     def __init__(self, lp: ArrowheadLP, meta: HierMeta,
                  factor_dtype=jnp.float64, axis: Optional[str] = None,
-                 n_shards: int = 1):
+                 n_shards: int = 1, dist_root: bool = False):
         # HierFactors carries no explicit root inverses: the root keeps
         # the triangular solve path (explicit_inverse=False); the LEAF
         # factorization goes through the shared _leaf_factor hook, so the
-        # f32 path uses the fused Pallas LDL kernel like the flat backend
+        # f32 path uses the fused Pallas LDL kernel like the flat backend.
+        # `dist_root` distributes the TOP-level dual Schur factorization
+        # over the mesh (the reference's MUMPS-root-under-hierarchy,
+        # MumpsSolverBase.h:28-72 + sLinsysRootBordered).
         super().__init__(lp, factor_dtype=factor_dtype, axis=axis,
                          explicit_inverse=False,
+                         dist_root=dist_root, n_shards=n_shards,
                          ldl_kernel=bool(jnp.dtype(factor_dtype)
                                          == jnp.float32))
         self.meta = meta
@@ -391,6 +397,35 @@ class HierArrowBackend(ArrowBackend):
             -contrib[n0:, n0:])
 
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
+        if self.dist_root:
+            # distribute the top dual-Schur factorization over the SAME
+            # mesh axis that shards the groups (the reference runs MUMPS
+            # dist roots under hierarchy): column-shard Sdual, panel-
+            # blocked distributed Cholesky inverse (linalg/dist_root.py)
+            from pips_ipmpp_tpu.linalg.dist_root import (dist_chol_inverse,
+                                                         own_slice)
+            if nD % self.n_shards:
+                raise ValueError(
+                    f"hier dist_root: top dual Schur dim nD={nD} must be "
+                    f"divisible by n_shards={self.n_shards}; pad the "
+                    "global linking rows")
+            S12f = S12.astype(fd)
+            S12_cols = own_slice(S12f, self.axis, self.n_shards)
+            T_cols = _spd_solve(chol1, S12_cols)          # [n0, nDp]
+            S22_cols = own_slice(S22.astype(fd), self.axis, self.n_shards)
+            Sdual_cols = -(S22_cols - S12f.T @ T_cols)    # [nD, nDp]
+            Wd, root_ok = dist_chol_inverse(Sdual_cols, self.axis,
+                                            self.n_shards)
+            return HierFactors(
+                L=L, Einv=Einv, Om=Om, Lloc=Lloc,
+                Win=Win.astype(dt), WoutB=WoutB.astype(dt),
+                WoutL=WoutL.astype(dt),
+                chol1=chol1, T=T_cols.astype(dt), chol2=jnp.zeros((), fd),
+                Einv0=Einv0, Om0=Om0, OmlG=OmlG, OmlL=OmlL,
+                delta_p=jnp.asarray(delta_p),
+                delta_d=jnp.asarray(delta_d, dt),
+                Ninv=Ninv, leaf_ok=leaf_ok, Wd=Wd,
+                root_ok=root_ok & jnp.all(jnp.isfinite(chol1)))
         T = _spd_solve(chol1, S12.astype(fd))
         Sdual = -(S22.astype(fd) - S12.astype(fd).T @ T)
         chol2 = jnp.linalg.cholesky(Sdual)
@@ -405,7 +440,7 @@ class HierArrowBackend(ArrowBackend):
             Ninv=Ninv, leaf_ok=leaf_ok)
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
-        ok = (fac.leaf_ok
+        ok = (fac.leaf_ok & fac.root_ok
               & jnp.all(jnp.isfinite(fac.L))
               & jnp.all(jnp.isfinite(fac.Lloc))
               & jnp.all(jnp.isfinite(fac.chol1))

@@ -69,8 +69,6 @@ class DistributedIPMSolver:
         assert mode in ("gspmd", "shard_map")
         if dist_root and mode != "shard_map":
             raise ValueError("dist_root requires shard_map mode")
-        if dist_root and hier_groups is not None:
-            raise ValueError("dist_root + hierarchical not yet composable")
         self.dist_root = dist_root
         self.mesh = mesh
         self.mode = mode
@@ -112,6 +110,10 @@ class DistributedIPMSolver:
             kw = dict(meta=self._hier_meta, factor_dtype=self.factor_dtype)
             if distributed:
                 kw.update(axis=BLOCK_AXIS, n_shards=self.mesh.size)
+                if self.dist_root:
+                    # distributed top dual Schur under hierarchy (the
+                    # reference's MUMPS-dist-root + sLinsysRootBordered)
+                    kw.update(dist_root=True)
             return partial(HierArrowBackend, **kw)
         kw = dict(factor_dtype=self.factor_dtype, **self.backend_kw)
         if distributed:

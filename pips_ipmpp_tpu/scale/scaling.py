@@ -284,8 +284,72 @@ class _ArrowView:
         return ArrowheadLP(**kw)
 
 
+class _BucketedView:
+    """Stats/apply adapter for BucketedArrowheadLP: per-bucket _ArrowViews
+    with first-stage/link statistics aggregated across buckets.  The
+    scale-factor pytrees carry `blocks` as a TUPLE of per-bucket arrays
+    (matching the bucketed XVec/RVec layout), so all unscaling tree_maps
+    work unchanged.
+
+    Min-statistic floors are per-bucket (each bucket's own row/col max)
+    rather than global across buckets — a conservative approximation that
+    only affects factor QUALITY, never the exactness of the pow2 scaling.
+    """
+
+    def __init__(self, lp):
+        self.lp = lp
+        self.views = [_ArrowView(b) for b in lp.buckets]
+
+    def _split(self, s, rE, rC, b):
+        return (XVec(s.first, s.blocks[b]),
+                RVec(rE.first, rE.blocks[b], rE.link),
+                RVec(rC.first, rC.blocks[b], rC.link))
+
+    def ones(self):
+        per = [v.ones() for v in self.views]
+        s0, rE0, rC0 = per[0]
+        s = XVec(s0.first, tuple(p[0].blocks for p in per))
+        rE = RVec(rE0.first, tuple(p[1].blocks for p in per), rE0.link)
+        rC = RVec(rC0.first, tuple(p[2].blocks for p in per), rC0.link)
+        return s, rE, rC
+
+    def row_stats(self, s, rE, rC, op):
+        red = jnp.maximum if op == "max" else jnp.minimum
+        per = [v.row_stats(*self._split(s, rE, rC, b), op)
+               for b, v in enumerate(self.views)]
+
+        def combine(idx):
+            stats = [p[idx] for p in per]
+            first = stats[0].first          # shared A0/C0: identical
+            link = stats[0].link
+            for st in stats[1:]:
+                link = red(link, st.link)   # every bucket's F/G strips
+            return RVec(first, tuple(st.blocks for st in stats), link)
+
+        return combine(0), combine(1)
+
+    def col_stats(self, s, rE, rC, op):
+        red = jnp.maximum if op == "max" else jnp.minimum
+        per = [v.col_stats(*self._split(s, rE, rC, b), op)
+               for b, v in enumerate(self.views)]
+        first = per[0].first
+        for st in per[1:]:                  # each bucket's A/C borders
+            first = red(first, st.first)
+        return XVec(first, tuple(st.blocks for st in per))
+
+    def apply(self, s, rE, rC):
+        from pips_ipmpp_tpu.core.bucketed import BucketedArrowheadLP
+        subs = tuple(v.apply(*self._split(s, rE, rC, b))
+                     for b, v in enumerate(self.views))
+        return BucketedArrowheadLP(subs, self.lp.placement)
+
+
 def _view(lp):
-    return _DenseView(lp) if isinstance(lp, DenseLP) else _ArrowView(lp)
+    if isinstance(lp, DenseLP):
+        return _DenseView(lp)
+    if isinstance(lp, ArrowheadLP):
+        return _ArrowView(lp)
+    return _BucketedView(lp)
 
 
 tmap = jax.tree.map
@@ -396,7 +460,86 @@ class CurtisReidScaler(_ScalerBase):
             return jnp.where(m > 0, jnp.log2(jnp.maximum(m, 1e-300)), 0.0), \
                 (m > 0).astype(M.dtype)
 
-        if isinstance(view, _DenseView):
+        if isinstance(view, _BucketedView):
+            # per-bucket log/pattern tables; first-stage (A0/C0/F0/G0) and
+            # linking aggregates counted ONCE from the shared copies in
+            # bucket 0, border/diag contributions summed across buckets
+            tabs = []
+            for bk in lp.buckets:
+                LBb, PBb = {}, {}
+                for name in ("A0", "C0", "A", "B", "C", "D", "F0", "F",
+                             "G0", "G"):
+                    LBb[name], PBb[name] = logabs(getattr(bk, name))
+                tabs.append((LBb, PBb))
+
+            def build(which, t_sel):
+                p0, pb, pd, pl0, plb = (("A0", "A", "B", "F0", "F")
+                                        if which == "E"
+                                        else ("C0", "C", "D", "G0", "G"))
+                tab0 = tabs[0][t_sel]
+                first = jnp.sum(tab0[p0], -1)
+                link = jnp.sum(tab0[pl0], -1)
+                blocks = []
+                for (Lb, Pb) in tabs:
+                    tb = (Lb, Pb)[t_sel]
+                    blocks.append(jnp.sum(tb[pb], -1)
+                                  + jnp.sum(tb[pd], -1))
+                    link = link + jnp.sum(tb[plb], (0, 2))
+                return RVec(first, tuple(blocks), link)
+
+            sigmaE, cntE = build("E", 0), build("E", 1)
+            sigmaC, cntC = build("C", 0), build("C", 1)
+
+            def cols_build(t_sel):
+                tab0 = tabs[0][t_sel]
+                first = (jnp.sum(tab0["A0"], 0) + jnp.sum(tab0["C0"], 0)
+                         + jnp.sum(tab0["F0"], 0) + jnp.sum(tab0["G0"], 0))
+                blocks = []
+                for (Lb, Pb) in tabs:
+                    tb = (Lb, Pb)[t_sel]
+                    first = first + (jnp.sum(tb["A"], (0, 1))
+                                     + jnp.sum(tb["C"], (0, 1)))
+                    blocks.append(jnp.sum(tb["B"], 1) + jnp.sum(tb["D"], 1)
+                                  + jnp.sum(tb["F"], 1)
+                                  + jnp.sum(tb["G"], 1))
+                return XVec(first, tuple(blocks))
+
+            sigmacol, cntcol = cols_build(0), cols_build(1)
+
+            def Pg(g: XVec):
+                PB0 = tabs[0][1]
+                firstE = PB0["A0"] @ g.first
+                firstC = PB0["C0"] @ g.first
+                linkE = PB0["F0"] @ g.first
+                linkC = PB0["G0"] @ g.first
+                blkE, blkC = [], []
+                for b, (Lb, Pb) in enumerate(tabs):
+                    gb = g.blocks[b]
+                    blkE.append(jnp.einsum("imk,k->im", Pb["A"], g.first)
+                                + jnp.einsum("imn,in->im", Pb["B"], gb))
+                    blkC.append(jnp.einsum("imk,k->im", Pb["C"], g.first)
+                                + jnp.einsum("imn,in->im", Pb["D"], gb))
+                    linkE = linkE + jnp.einsum("iln,in->l", Pb["F"], gb)
+                    linkC = linkC + jnp.einsum("iln,in->l", Pb["G"], gb)
+                return (RVec(firstE, tuple(blkE), linkE),
+                        RVec(firstC, tuple(blkC), linkC))
+
+            def PTr(rE_: RVec, rC_: RVec):
+                PB0 = tabs[0][1]
+                first = (PB0["A0"].T @ rE_.first + PB0["C0"].T @ rC_.first
+                         + PB0["F0"].T @ rE_.link + PB0["G0"].T @ rC_.link)
+                blocks = []
+                for b, (Lb, Pb) in enumerate(tabs):
+                    first = first + (
+                        jnp.einsum("imk,im->k", Pb["A"], rE_.blocks[b])
+                        + jnp.einsum("imk,im->k", Pb["C"], rC_.blocks[b]))
+                    blocks.append(
+                        jnp.einsum("imn,im->in", Pb["B"], rE_.blocks[b])
+                        + jnp.einsum("imn,im->in", Pb["D"], rC_.blocks[b])
+                        + jnp.einsum("iln,l->in", Pb["F"], rE_.link)
+                        + jnp.einsum("iln,l->in", Pb["G"], rC_.link))
+                return XVec(first, tuple(blocks))
+        elif isinstance(view, _DenseView):
             LA, PA = logabs(lp.A)
             LC, PC = logabs(lp.C)
 

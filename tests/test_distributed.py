@@ -129,3 +129,24 @@ def test_distributed_root_matches_replicated(mesh8):
     assert abs(r.objective - ref.objective) < 1e-6 * max(
         1.0, abs(ref.objective))
     assert abs(r.iterations - ref.iterations) <= 2
+
+
+def test_distributed_hier_with_dist_root(mesh8):
+    """Hierarchical x distributed-root composition (round-3 verdict #4):
+    group-local Schur stages per device PLUS a column-sharded top dual
+    Schur factorization — the reference's MUMPS-dist-root under
+    sLinsysRootBordered.  nD = m0E+m0I+globE+globI = 16 = 8 * 2."""
+    from pips_ipmpp_tpu.io.synthetic import random_hier_arrowhead_lp
+    lp = random_hier_arrowhead_lp(23, N=16, n_groups=8, n=6, mE=3, mI=3,
+                                  n0=4, m0E=4, m0I=4, loc_eq=2, loc_iq=1,
+                                  glob_eq=4, glob_iq=4)
+    ref = DistributedIPMSolver(mesh8, Options(), mode="shard_map",
+                               hier_groups=8).solve(lp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    r = DistributedIPMSolver(mesh8, Options(), mode="shard_map",
+                             hier_groups=8, dist_root=True).solve(lp)
+    assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
+        f"mu={r.mu} resid={r.residual_norm}"
+    assert abs(r.objective - ref.objective) < 1e-6 * max(
+        1.0, abs(ref.objective))
+    assert abs(r.iterations - ref.iterations) <= 2

@@ -31,11 +31,22 @@ with open(os.path.join(DATA, "manifest.json")) as f:
     MANIFEST = json.load(f)
 
 OBJ_TOL = 1e-4          # reference: t_pips.cpp:27
-# The reference asserts <= 1.1x its own recorded count.  Our IPM is a
-# different implementation (weighted PC search + different correctors) and
-# actually needs FEWER iterations than recorded on 22 of 26 instances; the
-# remaining four need at most one extra.  Budget: reference count + 2.
-ITER_SLACK = 2
+# The reference asserts <= 1.1x its own recorded count (t_pips.cpp:118-119)
+# and we hold ourselves to the SAME budget.  The measured table (PARITY.md
+# "Iteration parity", tools/iteration_parity.py) shows 24/26 instances
+# within it — 12 need FEWER iterations than the reference recorded.  The
+# two exceedances are documented here with their measured counts (+1 over
+# a recorded count of 4, where 1.1x rounds down to no slack at all):
+ITER_EXCEPTIONS = {
+    "parallelEqualityAndInequalityRow_B0A2": 5,   # ref 4
+    "parallelEqualityRows_B0A2": 5,               # ref 4
+}
+
+
+def iter_budget(entry) -> int:
+    if entry["name"] in ITER_EXCEPTIONS:
+        return ITER_EXCEPTIONS[entry["name"]]
+    return int(entry["iterations"] * 1.1)
 
 
 @pytest.mark.parametrize("entry", MANIFEST, ids=[m["name"] for m in MANIFEST])
@@ -48,9 +59,9 @@ def test_reference_recorded_objective(entry):
     assert abs(float(r.objective) - entry["objective"]) < OBJ_TOL, \
         f"{entry['name']}: objective {float(r.objective)} " \
         f"vs reference-recorded {entry['objective']}"
-    assert r.iterations <= entry["iterations"] + ITER_SLACK, \
+    assert r.iterations <= iter_budget(entry), \
         f"{entry['name']}: {r.iterations} iterations vs reference-recorded " \
-        f"{entry['iterations']} (+{ITER_SLACK} slack)"
+        f"{entry['iterations']} (budget {iter_budget(entry)})"
 
 
 @pytest.mark.parametrize("name", ["exampleAC_boundStrength",

@@ -180,3 +180,51 @@ def test_curtis_reid_stays_bounded_on_singular_system():
                 assert np.all(a == np.exp2(np.round(np.log2(a))))
     iface = PIPSIPMppTPUInterface(lp, Options(scaler=ScalerType.CURTIS_REID))
     assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+
+
+def test_bucketed_scaling_all_modes():
+    """Scaling composes with bucketed heterogeneous blocks (round-3
+    verdict #4: previously warned and solved UNSCALED).  Every scaler mode
+    must produce the same optimal objective as the unscaled bucketed solve
+    and the flat (uniform-padded) scaled solve."""
+    import numpy as np
+    import pytest
+    from pips_ipmpp_tpu.core.options import (Options, PresolverType,
+                                             ScalerType)
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    from tests.test_bucketed import SIZES, _problem
+    from pips_ipmpp_tpu.core.bucketed import make_bucketed_arrowhead_lp
+    from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
+
+    rng = np.random.default_rng(11)
+    blocks, first, le, li = _problem(rng, SIZES)
+    # spread magnitudes so scaling actually has something to do
+    for b in blocks:
+        b["B"] = b["B"] * 64.0
+        b["b"] = b["b"] * 64.0
+    blp = make_bucketed_arrowhead_lp(blocks, first, le, li, quantum=16)
+    lp_flat = make_arrowhead_lp(blocks, first, le, li)
+
+    base = PIPSIPMppTPUInterface(blp, Options(max_iterations=80))
+    assert base.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    ref = base.getObjective()
+    flat = PIPSIPMppTPUInterface(lp_flat, Options(
+        max_iterations=80, scaler=ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM))
+    assert flat.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert flat.getObjective() == pytest.approx(ref, abs=1e-5, rel=1e-6)
+
+    for mode in (ScalerType.EQUILIBRIUM, ScalerType.GEOMETRIC_MEAN,
+                 ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM,
+                 ScalerType.CURTIS_REID):
+        iface = PIPSIPMppTPUInterface(blp, Options(max_iterations=80,
+                                                   scaler=mode))
+        st = iface.run()
+        assert st == TerminationStatus.SUCCESSFUL_TERMINATION, (mode, st)
+        assert iface.getObjective() == pytest.approx(
+            ref, abs=1e-5, rel=1e-6), mode
+        # gathers keep working on the scaled bucketed path
+        x = iface.gatherPrimalSolution()
+        assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-5
+        assert iface.gatherDualSolutionEq().size
+        assert iface.gatherSlacksVarsLow().shape == x.shape
