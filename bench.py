@@ -229,6 +229,30 @@ def main():
                  dict(N=64, n=1024, mE=512, mI=512, n0=64, m0E=32, m0I=32,
                       mEl=32, mIl=32), stream=4, mfu=True)
 
+    # ---- real-world class: 102k-var energy dispatch/expansion TTO ----
+    # (round-3 verdict #2; objective oracle-matched in test_realworld.py,
+    # the bench records time-to-optimality of the same instance class)
+    try:
+        def run_energy():
+            from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
+            from pips_ipmpp_tpu.io.energy import dispatch_blocks
+            blocks, first, leq, liq, meta = dispatch_blocks(
+                T=96, R=150, G=550, L=350, S=4, seed=5)
+            elp = make_arrowhead_lp(blocks, first, leq, liq, dtype=dtype)
+            elp = scaler.scale(elp)
+            sv = IPMSolver(partial(ArrowBackend, **be_kw),
+                           Options(max_gondzio_correctors=1,
+                                   refinement_steps=2,
+                                   matmul_precision="high"))
+            return _run_config(sv, _stream_lps(elp, 2))
+        it_e, sus_e, sing_e, it1_e = _retry(run_energy)
+        out["cfg_energy_102kvar"] = {
+            "tto_ms": round(sing_e * 1e3, 1),
+            "iters": int(it1_e),
+            "iter_s": round(it_e / sus_e, 1)}
+    except Exception as e:
+        out["cfg_energy_102kvar"] = {"error": str(e)[:120]}
+
     nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_NOMINAL.json")
     if os.path.exists(nominal_path):

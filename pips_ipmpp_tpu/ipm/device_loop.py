@@ -87,7 +87,12 @@ def solve_on_device(be_ctor, opts: Options, lp):
         is_retry = attempt > 0
 
         converged = (mu_v <= mu_tol) & (res_v <= res_scale)
-        diverged = ~jnp.isfinite(mu_v) | (mu_v > opts.divergence_mu)
+        # relative divergence test after a settling period (reference
+        # PIPSIPMppSolver.cpp:164-169), matching the host loop: big LPs
+        # legitimately START with mu above any absolute cap
+        diverged = ~jnp.isfinite(mu_v) | (
+            (k >= 10) & (mu_v > opts.divergence_mu)
+            & (mu_v > 1e4 * best_mu))
         improving = mu_v < best_mu * 0.999
         stall = jnp.where(is_retry, stall,
                           jnp.where(improving, 0, stall + 1))

@@ -210,7 +210,14 @@ class IPMSolver:
             if mu_v <= mu_tol and res_v <= res_tol * max(datanorm, 1.0):
                 status = TerminationStatus.SUCCESSFUL_TERMINATION
                 break
-            if not np.isfinite(mu_v) or mu_v > opts.divergence_mu:
+            # divergence is RELATIVE to the best mu seen, only after the
+            # iteration has had a chance to settle (reference
+            # PIPSIPMppSolver.cpp:164-169: iteration >= 10 and
+            # phi >= 1e4 * phi_min) — an absolute cap would misreport big
+            # LPs whose INITIAL mu already exceeds it as infeasible
+            if not np.isfinite(mu_v) or (
+                    k - k0 >= 10 and mu_v > opts.divergence_mu
+                    and mu_v > 1e4 * best_mu):
                 status = TerminationStatus.INFEASIBLE
                 break
             # slow-progress detection (reference :176-185)
@@ -291,6 +298,24 @@ class IPMSolver:
             self._fused = jax.jit(
                 partial(solve_on_device, self.be_ctor, self.opts))
         return self._fused(lp)
+
+    def solve_fused_batch_async(self, lps):
+        """Run B independent same-shape LPs as ONE vmapped fused device
+        program.  At small per-iteration shapes the IPM's solve phases
+        are matvec-shaped (single RHS) and op-overhead-bound; vmapping
+        the whole solve turns every matvec into a batch-B matmul — the
+        production serving pattern for streams of scenario LPs.  The
+        while_loop runs until the LAST instance converges (done
+        instances are masked); per-instance iteration counters stop at
+        their own convergence.  Returns the raw batched (iterate, info)
+        pytree — index leaf b for instance b."""
+        from pips_ipmpp_tpu.ipm.device_loop import solve_on_device
+        self._assert_precision()
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *lps)
+        if not hasattr(self, "_fused_batch"):
+            self._fused_batch = jax.jit(jax.vmap(
+                partial(solve_on_device, self.be_ctor, self.opts)))
+        return self._fused_batch(stacked)
 
     def solve_fused(self, lp) -> SolveResult:
         """Fully on-device solve (lax.while_loop outer loop, one compile,
