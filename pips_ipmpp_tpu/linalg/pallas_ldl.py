@@ -155,7 +155,7 @@ def _ldl_kernel(a_ref, x_ref, d_ref, l_ref, xkk_ref, *, a: int, panel: int,
         else:
             xkk, dpan = _small_ldl_inv(x_ref[:, r0:r1, r0:r1], panel)
         xkk_ref[:, :, r0:r1] = xkk
-        d_ref[:, r0:r1] = dpan
+        d_ref[:, 0, r0:r1] = dpan
         if r1 < a:
             # panel solve: L21 = A21 Xkk^T diag(1/d)   (all MXU)
             a21 = x_ref[:, r1:, r0:r1]                   # [G, rem-p, p]
@@ -216,6 +216,11 @@ def _ldl_call(A, interpret=False, panel=None, lane_major=False):
     grid = B // g
     kern = functools.partial(_ldl_kernel, a=a, panel=panel,
                              lane_major=lane_major)
+    # d rides in a [., 8, a] buffer (row 0): a rank-2 (g, a) block would
+    # put g on the sublane axis, and Mosaic requires the last two block
+    # dims divisible by (8, 128) — at large `a` the VMEM budget forces
+    # g < 8 (e.g. g=2 at a=1024), which is legal for the rank-3 blocks
+    # (only the LAST TWO dims are constrained) but not for (g, a)
     X, d = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -223,17 +228,17 @@ def _ldl_call(A, interpret=False, panel=None, lane_major=False):
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((g, a, a), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((g, a), lambda i: (i, 0),
+                   pl.BlockSpec((g, 8, a), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((B, a, a), A.dtype),
-                   jax.ShapeDtypeStruct((B, a), A.dtype)],
+                   jax.ShapeDtypeStruct((B, 8, a), A.dtype)],
         scratch_shapes=[pltpu.VMEM((g, a, a), A.dtype),
                         pltpu.VMEM((g, panel, a), A.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(A)
-    return X, d
+    return X, d[:, 0, :]
 
 
 def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None,
@@ -253,11 +258,35 @@ def ldl_inverse_factors(A: jax.Array, interpret=None, panel=None,
         interpret = jax.default_backend() != "tpu"
     if panel is None:
         panel = int(os.environ.get("PIPS_LDL_PANEL", "0")) or None
+    if panel is None:
+        # panel width by problem size (v5e f32 measurements): wide panels
+        # shorten the sequential panel chain and fatten the MXU panel
+        # solve / trailing update — [64,1024,1024]: 16 -> 4.6 TFLOP/s,
+        # 128 -> 11.0 (72% of this chip's batched-matmul rate);
+        # [64,256,256] in-loop factorize: 16 -> 7.1 ms, 32 -> 1.7 ms;
+        # at a <= 128 the in-panel VPU steps dominate and 16 wins
+        a_dim = A.shape[-1]
+        panel = 128 if a_dim >= 512 else (32 if a_dim >= 256 else None)
     if lane_major is None:
         lane_major = bool(int(os.environ.get("PIPS_LDL_LANES", "0")))
     pw = panel or PANEL
     B, a, _ = A.shape
-    pad = 0 if a <= pw else (-a) % pw
+    # Mosaic requires the last two dims of GRID-SPLIT window blocks to be
+    # divisible by (8, 128); a whole-batch (grid == 1) block is legal at
+    # any 8-multiple.  So pad `a` to a 128-multiple (identity tail,
+    # exact) only when the VMEM budget forces a grid split; the
+    # interpreter (CPU tests) keeps the cheaper panel alignment.
+    a_pw = a if a <= pw else a + ((-a) % pw)
+    fits_whole = (5 * B * a_pw * a_pw + B * pw * a_pw) * 4 \
+        <= 100 * 1024 * 1024
+    align = pw if (interpret or fits_whole) else max(pw, 128)
+    pad = 0 if a <= pw else (-a) % align
+    if not interpret and a + pad < 128:
+        # sub-128-lane windows have faulted Mosaic at runtime inside
+        # fused loops (observed: the ns=32 sparse root inside solve_fused
+        # crashed the TPU worker); pad tiny matrices to one full lane
+        # tile — extra FLOPs are microscopic at this size
+        pad = 128 - a
     if pad:
         eye = jnp.broadcast_to(jnp.eye(pad, dtype=A.dtype), (B, pad, pad))
         Ap = jnp.zeros((B, a + pad, a + pad), A.dtype)
