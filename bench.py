@@ -307,12 +307,15 @@ def main():
                                    refinement_steps=2,
                                    reduced_accuracy=True,
                                    matmul_precision="high"))
-            r = sv.solve_fused(slp)
+            # HOST loop (not solve_fused): the fused nesting of the CG
+            # while_loop has crashed the axon worker; the host loop with
+            # cg_iters=100 is the empirically safe path
+            r = sv.solve(slp)
             assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
                 r.status
             slp2 = dataclasses.replace(slp, c0=slp.c0 * (1 + 1e-6))
             t0 = time.perf_counter()
-            r = sv.solve_fused(slp2)   # distinct input (tunnel caching)
+            r = sv.solve(slp2)         # distinct input (tunnel caching)
             dtt = time.perf_counter() - t0
             assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
                 r.status
