@@ -120,6 +120,12 @@ class Options:
     # by preconditioned CG instead of a dense Cholesky — O(nD*pb^2) factor
     # work when the linking dimension nD gets large
     iterative_root_panel: int = 0
+    # densify SparseArrowheadLPs whose dense B/D twin fits this budget
+    # (MB) and run them on the batched-dense MXU path (the SURVEY's
+    # "decide empirically per block size" sizing rule: on TPU a dense
+    # factorization beats irregular gathers by orders of magnitude at
+    # 10^3-row-class blocks).  0 = never densify (the ELL+CG leaf).
+    sparse_densify_max_mb: float = 0.0
     sc_diag_dom_bound: float = 0.001       # diagDomBounds[0]
     it_root_tol: float = 1e-9
     it_root_maxiter: int = 200

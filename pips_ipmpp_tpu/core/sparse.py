@@ -19,6 +19,7 @@ a factorization — see linalg/sparse_backend.py.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -386,3 +387,29 @@ def sparse_from_dense(lp: ArrowheadLP, K: int | None = None
         ixlowN=lp.ixlowN, xlowN=lp.xlowN, ixuppN=lp.ixuppN, xuppN=lp.xuppN,
         F0=lp.F0, F=lp.F, bl=lp.bl, G0=lp.G0, G=lp.G,
         iclowl=lp.iclowl, clowl=lp.clowl, icuppl=lp.icuppl, cuppl=lp.cuppl)
+
+
+def dense_from_sparse(slp: SparseArrowheadLP) -> "ArrowheadLP":
+    """Densify a SparseArrowheadLP back into the batched-dense ArrowheadLP.
+
+    The TPU sizing rule (SURVEY.md hard part #1: "decide empirically per
+    block size"): at 10^3-row-class blocks a dense MXU factorization beats
+    irregular gathers by orders of magnitude, so the facade densifies
+    sparse problems whose dense twin fits the `sparse_densify_max_mb`
+    budget and runs them on ArrowBackend; the ELL+CG leaf covers the
+    sizes where densification cannot fit."""
+    kw = {}
+    for f in dataclasses.fields(ArrowheadLP):
+        if f.name == "B":
+            kw["B"] = ell_to_dense(slp.B, slp.n)
+        elif f.name == "D":
+            kw["D"] = ell_to_dense(slp.D, slp.n)
+        else:
+            kw[f.name] = getattr(slp, f.name)
+    return ArrowheadLP(**kw)
+
+
+def dense_bytes(slp: SparseArrowheadLP) -> int:
+    """Bytes the densified B/D blocks would occupy (the densify budget)."""
+    itemsize = jnp.dtype(slp.c0.dtype).itemsize
+    return (slp.N * (slp.mE + slp.mI) * slp.n) * itemsize

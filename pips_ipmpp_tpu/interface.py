@@ -102,10 +102,23 @@ class PIPSIPMppTPUInterface:
                 kw["band_root_plan"] = plan_banded_root(lp)
             self._solver = IPMSolver(partial(be_cls, **kw), self.options)
         elif _is_sparse_arrowhead(lp):
-            from pips_ipmpp_tpu.linalg.sparse_backend import \
-                SparseArrowBackend
-            self._solver = IPMSolver(
-                partial(SparseArrowBackend, factor_dtype=fd), self.options)
+            from pips_ipmpp_tpu.core.sparse import (dense_bytes,
+                                                    dense_from_sparse)
+            budget = self.options.sparse_densify_max_mb * 1024 * 1024
+            if budget > 0 and dense_bytes(lp) <= budget:
+                # within budget the dense MXU path wins by orders of
+                # magnitude over irregular gathers on TPU; the CG leaf
+                # remains the answer for blocks that cannot densify
+                from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+                lp = self.lp = dense_from_sparse(lp)
+                self._solver = IPMSolver(
+                    partial(ArrowBackend, factor_dtype=fd), self.options)
+            else:
+                from pips_ipmpp_tpu.linalg.sparse_backend import \
+                    SparseArrowBackend
+                self._solver = IPMSolver(
+                    partial(SparseArrowBackend, factor_dtype=fd),
+                    self.options)
         elif _is_bucketed(lp):
             if (self.options.banded_leaf or self.options.banded_root
                     or self.options.hierarchical):

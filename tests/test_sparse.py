@@ -199,3 +199,24 @@ def test_sparse_cg_leaf_converged_8blocks_8192rows_reference_scale():
     assert _mu_trajectory_no_stall(res.history)
     # HiGHS f64 oracle on the same instance (tools run, round 4)
     assert abs(float(res.objective) - (-27135.692927917404)) < 5e-2
+
+
+def test_facade_densify_budget_routing():
+    """sparse_densify_max_mb routes in-budget sparse LPs to the dense MXU
+    path (same optimum, gathers work); 0 keeps the ELL+CG leaf."""
+    from pips_ipmpp_tpu.core.lp import ArrowheadLP
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+
+    slp = random_sparse_arrowhead_lp(1, N=4, n=192, mE=96, mI=96,
+                                     nnz_per_row=6, n0=8, m0E=3, m0I=3,
+                                     mEl=3, mIl=3)
+    i_cg = PIPSIPMppTPUInterface(slp, Options())
+    assert i_cg.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    i_d = PIPSIPMppTPUInterface(slp, Options(sparse_densify_max_mb=64))
+    assert isinstance(i_d.lp, ArrowheadLP)     # densified at intake
+    assert i_d.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(i_d.getObjective() - float(i_cg.result.objective)) < 1e-6
+    # full gather surface works on the densified problem
+    import numpy as np
+    assert np.max(np.abs(i_d.gatherPrimalResidsEQ())) < 1e-6
