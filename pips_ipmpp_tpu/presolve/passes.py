@@ -563,121 +563,83 @@ def _apply_nearly_parallel(pd, kind, row_s, row_o, s_info, o_info, k):
 # ======================================================================
 
 def bound_strengthening(pd: PresolveData, max_tighten: float = 1e8) -> int:
-    """Activity-based implied bounds from eq and ineq rows, computed for
-    ALL rows of a scope in one batched numpy pass."""
+    """Activity-based implied bounds from eq and ineq rows, computed on
+    the NONZERO entries only (V.CooScope) — the padded scopes are ~1%
+    dense at reference scale, so dense candidate tensors moved ~10 GB of
+    zeros per pass.  Provenance (which row implied each accepted bound)
+    is recovered for the few improved variables afterwards, for the
+    exact postsolve dual transfer."""
     from pips_ipmpp_tpu.presolve import vectorized as V
 
-    n = 0
-    # accumulate the best candidate per variable across all scopes, with
-    # PROVENANCE (which row implied it) for the exact postsolve dual
-    # transfer: src arrays carry (eq?1:0, row_blk, r) per variable side;
-    # row_blk encodes FIRST/LINK as the negative sentinels of data.py.
-    best_lo0 = np.full(pd.c0.shape, -np.inf)
-    best_up0 = np.full(pd.c0.shape, np.inf)
-    best_loN = np.full(pd.cN.shape, -np.inf)
-    best_upN = np.full(pd.cN.shape, np.inf)
-    src_lo0 = np.full(pd.c0.shape + (3,), -9, dtype=np.int64)
-    src_up0 = np.full(pd.c0.shape + (3,), -9, dtype=np.int64)
-    src_loN = np.full(pd.cN.shape + (3,), -9, dtype=np.int64)
-    src_upN = np.full(pd.cN.shape + (3,), -9, dtype=np.int64)
-
-    def upd_max(best, src, cand, rows):
-        """best/src [k]/[k,3] <- elementwise max with cand [k], rows
-        [k,3] the (is_eq, row_blk, r) of each candidate."""
-        better = cand > best
-        src[better] = rows[better]
-        return np.maximum(best, cand)
-
-    def upd_min(best, src, cand, rows):
-        better = cand < best
-        src[better] = rows[better]
-        return np.minimum(best, cand)
+    n0, nv, N = pd.c0.size, pd.cN.shape[1], pd.N
+    ntot = n0 + N * nv
+    best_lo = np.full(ntot, -np.inf)
+    best_up = np.full(ntot, np.inf)
 
     eqs = V.eq_scopes(pd)
     n_eq_scopes = len(eqs)
     scopes = ([(s, b, b) for (s, b, _b) in eqs]
               + list(V.ineq_scopes(pd)))
-    n0, nv = pd.c0.size, pd.cN.shape[1]
+    entries = []     # (is_eq, coo, var_ids, cand_lo_e, cand_up_e)
     for si, (scope, lo_r, up_r) in enumerate(scopes):
-        is_eq = 1 if si < n_eq_scopes else 0
-        act = V.activity(scope)
-        cand_lo, cand_up = V.implied_col_bounds(scope, act, lo_r, up_r)
-        if scope.kind == "first":
-            rb = FIRST
-            arg_l, arg_u = cand_lo.argmax(0), cand_up.argmin(0)
-            rows_l = np.stack([np.full(n0, is_eq), np.full(n0, rb),
-                               arg_l], axis=-1)
-            rows_u = np.stack([np.full(n0, is_eq), np.full(n0, rb),
-                               arg_u], axis=-1)
-            best_lo0 = upd_max(best_lo0, src_lo0, cand_lo.max(0), rows_l)
-            best_up0 = upd_min(best_up0, src_up0, cand_up.min(0), rows_u)
-        elif scope.kind == "block":
-            m = cand_lo.shape[1]
-            # first-stage columns: best over ALL (block, row) pairs
-            fl = cand_lo[:, :, :n0].reshape(-1, n0)
-            fu = cand_up[:, :, :n0].reshape(-1, n0)
-            al, au = fl.argmax(0), fu.argmin(0)
-            rows_l = np.stack([np.full(n0, is_eq), al // m, al % m], -1)
-            rows_u = np.stack([np.full(n0, is_eq), au // m, au % m], -1)
-            best_lo0 = upd_max(best_lo0, src_lo0, fl.max(0), rows_l)
-            best_up0 = upd_min(best_up0, src_up0, fu.min(0), rows_u)
-            # block columns: best row within each block
-            al = cand_lo[:, :, n0:].argmax(1)                  # [N, nv]
-            au = cand_up[:, :, n0:].argmin(1)
-            iN = np.broadcast_to(np.arange(pd.N)[:, None], al.shape)
-            e = np.full(al.shape, is_eq)
-            best_loN = upd_max(best_loN, src_loN,
-                               cand_lo[:, :, n0:].max(1),
-                               np.stack([e, iN, al], -1))
-            best_upN = upd_min(best_upN, src_upN,
-                               cand_up[:, :, n0:].min(1),
-                               np.stack([e, iN, au], -1))
-        else:   # link
-            k = cand_lo.shape[1]
-            al, au = cand_lo.argmax(0), cand_up.argmin(0)
-            rows_l = np.stack([np.full(k, is_eq), np.full(k, LINK), al], -1)
-            rows_u = np.stack([np.full(k, is_eq), np.full(k, LINK), au], -1)
-            best_lo0 = upd_max(best_lo0, src_lo0, cand_lo[:, :n0].max(0),
-                               rows_l[:n0])
-            best_up0 = upd_min(best_up0, src_up0, cand_up[:, :n0].min(0),
-                               rows_u[:n0])
-            best_loN = upd_max(best_loN, src_loN,
-                               cand_lo[:, n0:].max(0).reshape(pd.N, nv),
-                               rows_l[n0:].reshape(pd.N, nv, 3))
-            best_upN = upd_min(best_upN, src_upN,
-                               cand_up[:, n0:].min(0).reshape(pd.N, nv),
-                               rows_u[n0:].reshape(pd.N, nv, 3))
-
-    def src_tuple(src, j):
-        e, rb, r = (int(v) for v in src[j])
-        if e < 0:
-            return None
-        return ("eq" if e else "ineq", rb, r)
+        coo = V.CooScope(scope)
+        if coo.v.size == 0:
+            continue
+        cand_lo_e, cand_up_e = coo.implied_entry_bounds(lo_r, up_r)
+        vid = coo.var_ids(n0, nv)
+        np.maximum.at(best_lo, vid, cand_lo_e)
+        np.minimum.at(best_up, vid, cand_up_e)
+        entries.append((1 if si < n_eq_scopes else 0, coo, vid,
+                        cand_lo_e, cand_up_e))
 
     lo0, up0, loN, upN = V.var_bound_arrays(pd)
-    for vb in [FIRST] + list(range(pd.N)):
-        if vb == FIRST:
-            bl, bu, cl, cu, active = best_lo0, best_up0, lo0, up0, \
-                pd.var_active0
-            sl, su = src_lo0, src_up0
-        else:
-            bl, bu, cl, cu, active = (best_loN[vb], best_upN[vb],
-                                      loN[vb], upN[vb], pd.var_activeN[vb])
-            sl, su = src_loN[vb], src_upN[vb]
-        improve_lo = (np.isfinite(bl) & (np.abs(bl) <= max_tighten)
-                      & (bl >= cl + 1e-7) & active)
-        improve_up = (np.isfinite(bu) & (np.abs(bu) <= max_tighten)
-                      & (bu <= cu - 1e-7) & active)
-        for j in np.nonzero(improve_lo | improve_up)[0]:
-            nl = float(bl[j]) if improve_lo[j] else None
-            nu = float(bu[j]) if improve_up[j] else None
-            if pd.tighten_bounds(
-                    vb, int(j), nl, nu, reason="bound_strengthening",
-                    implied_lo=src_tuple(sl, j) if improve_lo[j] else None,
-                    implied_upp=src_tuple(su, j) if improve_up[j] else None):
-                n += 1
-            if pd.infeasible:
-                return n
+    cur_lo = np.concatenate([lo0, loN.reshape(-1)])
+    cur_up = np.concatenate([up0, upN.reshape(-1)])
+    active = np.concatenate([pd.var_active0,
+                             pd.var_activeN.reshape(-1)])
+    improve_lo = (np.isfinite(best_lo) & (np.abs(best_lo) <= max_tighten)
+                  & (best_lo >= cur_lo + 1e-7) & active)
+    improve_up = (np.isfinite(best_up) & (np.abs(best_up) <= max_tighten)
+                  & (best_up <= cur_up - 1e-7) & active)
+    improved = np.nonzero(improve_lo | improve_up)[0]
+    if improved.size == 0:
+        return 0
+
+    # provenance: among the (few) improved variables, find the entry that
+    # achieved the best candidate (first match across scopes)
+    src_lo = {}
+    src_up = {}
+    imp_set_lo = set(int(j) for j in np.nonzero(improve_lo)[0])
+    imp_set_up = set(int(j) for j in np.nonzero(improve_up)[0])
+    for is_eq, coo, vid, cand_lo_e, cand_up_e in entries:
+        rb_arr, r_arr = coo.row_blk_r()
+        hit = np.nonzero(cand_lo_e == best_lo[vid])[0]
+        for t in hit:
+            j = int(vid[t])
+            if j in imp_set_lo and j not in src_lo:
+                src_lo[j] = ("eq" if is_eq else "ineq",
+                             int(rb_arr[t]), int(r_arr[t]))
+        hit = np.nonzero(cand_up_e == best_up[vid])[0]
+        for t in hit:
+            j = int(vid[t])
+            if j in imp_set_up and j not in src_up:
+                src_up[j] = ("eq" if is_eq else "ineq",
+                             int(rb_arr[t]), int(r_arr[t]))
+
+    n = 0
+    for j in improved:
+        j = int(j)
+        vb, jj = (FIRST, j) if j < n0 else divmod(j - n0, nv)
+        nl = float(best_lo[j]) if improve_lo[j] else None
+        nu = float(best_up[j]) if improve_up[j] else None
+        if pd.tighten_bounds(
+                vb if vb == FIRST else int(vb), int(jj), nl, nu,
+                reason="bound_strengthening",
+                implied_lo=src_lo.get(j) if improve_lo[j] else None,
+                implied_upp=src_up.get(j) if improve_up[j] else None):
+            n += 1
+        if pd.infeasible:
+            return n
     return n
 
 
@@ -692,15 +654,17 @@ def redundant_rows(pd: PresolveData) -> int:
 
     n = 0
     for scope, lo_r, up_r in V.ineq_scopes(pd):
-        act = V.activity(scope)
+        coo = V.CooScope(scope)
+        min_act, max_act, nnz = (a.reshape(np.shape(lo_r))
+                                 for a in coo.row_acts())
         tol_lo = FEASTOL * np.maximum(1.0, np.abs(lo_r))
         tol_up = FEASTOL * np.maximum(1.0, np.abs(up_r))
-        lo_ok = np.isneginf(lo_r) | (act["min_act"] >= lo_r - tol_lo)
-        up_ok = np.isposinf(up_r) | (act["max_act"] <= up_r + tol_up)
+        lo_ok = np.isneginf(lo_r) | (min_act >= lo_r - tol_lo)
+        up_ok = np.isposinf(up_r) | (max_act <= up_r + tol_up)
         # also: provably infeasible rows
-        bad = ((act["min_act"] > up_r + tol_up)
-               | (act["max_act"] < lo_r - tol_lo))
-        redundant = lo_ok & up_ok & scope.active & (act["nnz"] > 0)
+        bad = ((min_act > up_r + tol_up)
+               | (max_act < lo_r - tol_lo))
+        redundant = lo_ok & up_ok & scope.active & (nnz > 0)
         if np.any(bad & scope.active):
             pd.infeasible = True
             return n
