@@ -70,8 +70,7 @@ def model_cleanup(pd: PresolveData) -> int:
     # fixing variables at O(M) values, float cancellation legitimately
     # leaves an O(eps * M) residual on an emptied row
     for scope, b, _ in V.eq_scopes(pd):
-        nnz = np.count_nonzero(scope.K, axis=-1)
-        empty = (nnz == 0) & scope.active
+        empty = (scope.row_nnz() == 0) & scope.active
         tol = FEASTOL * (1.0 + _eq_shift(pd, scope.kind))
         if np.any(empty & (np.abs(np.asarray(b)) > tol)):
             pd.infeasible = True
@@ -80,8 +79,7 @@ def model_cleanup(pd: PresolveData) -> int:
             pd.remove_eq_row(*_scope_blk(scope, ix), "empty_row")
             n += 1
     for scope, lo_r, up_r in V.ineq_scopes(pd):
-        nnz = np.count_nonzero(scope.K, axis=-1)
-        empty = (nnz == 0) & scope.active
+        empty = (scope.row_nnz() == 0) & scope.active
         tol = FEASTOL * (1.0 + _ineq_shift(pd, scope.kind))
         if np.any(empty & ((np.asarray(lo_r) > tol)
                            | (np.asarray(up_r) < -tol))):

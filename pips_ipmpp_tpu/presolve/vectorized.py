@@ -32,15 +32,48 @@ def var_bound_arrays(pd: PresolveData):
 
 class Scope:
     """One vectorized row scope: coefficient matrix K over flat columns,
-    with maps back to (var_blk, j) and (row_blk, r)."""
+    with maps back to (var_blk, j) and (row_blk, r).
 
-    def __init__(self, kind: str, K: np.ndarray, active: np.ndarray,
-                 lo: np.ndarray, up: np.ndarray):
+    `parts` (optional) carries the UNCONCATENATED constituents as
+    (array, tag, col_offset) tuples — tag "cols" for a plain column
+    span ([m, k] or [N, m, k]), tag "linkstrip" for [N, mL, n] strips
+    whose flat column is off + i*n + j.  CooScope extracts nonzero
+    entries from the parts directly; dense consumers touching `.K`
+    pay the concatenation lazily."""
+
+    def __init__(self, kind: str, K, active: np.ndarray,
+                 lo: np.ndarray, up: np.ndarray, parts=None):
         self.kind = kind          # "first" | "block" | "link"
-        self.K = K                # [m, k] or [N, m, k]
+        self._K = K               # [m, k] or [N, m, k] (or None: lazy)
+        self.parts = parts
         self.active = active      # [m] or [N, m] bool
         self.lo = lo              # [k] or [N, k] column lower bounds
         self.up = up
+
+    def row_nnz(self) -> np.ndarray:
+        """Nonzeros per row without materializing the concatenated K."""
+        if self.parts is None:
+            return np.count_nonzero(self.K, axis=-1)
+        out = np.zeros(self.active.shape, np.int64)
+        for arr, tag, off in self.parts:
+            if tag == "linkstrip":                   # [N, mL, n]
+                out += np.count_nonzero(arr, axis=(0, 2))
+            else:
+                out += np.count_nonzero(arr, axis=-1)
+        return out
+
+    @property
+    def K(self):
+        if self._K is None:
+            arrs = []
+            for arr, tag, off in self.parts:
+                if tag == "linkstrip":
+                    arrs.append(np.swapaxes(arr, 0, 1)
+                                .reshape(arr.shape[1], -1))
+                else:
+                    arrs.append(arr)
+            self._K = np.concatenate(arrs, axis=-1)
+        return self._K
 
     # ---- flat column index -> (var_blk, j) ----
     def col_id(self, i_blk, flat_j, n0, n):
@@ -59,22 +92,23 @@ class Scope:
 def eq_scopes(pd: PresolveData):
     lo0, up0, loN, upN = var_bound_arrays(pd)
     N = pd.N
+    n0 = lo0.size
     out = []
     if pd.A0.shape[0]:
         out.append((Scope("first", pd.A0, pd.rowE_active0, lo0, up0),
                     pd.b0, pd.b0))
     if pd.B.shape[0] and pd.B.shape[1]:
-        K = np.concatenate([pd.A, pd.B], axis=2)          # [N, mE, n0+n]
         lo = np.concatenate([np.broadcast_to(lo0, (N, lo0.size)), loN], 1)
         up = np.concatenate([np.broadcast_to(up0, (N, up0.size)), upN], 1)
-        out.append((Scope("block", K, pd.rowE_activeN, lo, up),
+        out.append((Scope("block", None, pd.rowE_activeN, lo, up,
+                          parts=[(pd.A, "cols", 0), (pd.B, "cols", n0)]),
                     pd.bN, pd.bN))
     if pd.F0.shape[0]:
-        K = np.concatenate(
-            [pd.F0, np.swapaxes(pd.F, 0, 1).reshape(pd.F0.shape[0], -1)], 1)
         lo = np.concatenate([lo0, loN.reshape(-1)])
         up = np.concatenate([up0, upN.reshape(-1)])
-        out.append((Scope("link", K, pd.rowE_activel, lo, up),
+        out.append((Scope("link", None, pd.rowE_activel, lo, up,
+                          parts=[(pd.F0, "cols", 0),
+                                 (pd.F, "linkstrip", n0)]),
                     pd.bl, pd.bl))
     return out
 
@@ -82,6 +116,7 @@ def eq_scopes(pd: PresolveData):
 def ineq_scopes(pd: PresolveData):
     lo0, up0, loN, upN = var_bound_arrays(pd)
     N = pd.N
+    n0 = lo0.size
     out = []
 
     def rb(il, lo_r, iu, up_r):
@@ -93,18 +128,20 @@ def ineq_scopes(pd: PresolveData):
         out.append((Scope("first", pd.C0, pd.rowI_active0, lo0, up0),
                     lo_r, up_r))
     if pd.D.shape[0] and pd.D.shape[1]:
-        K = np.concatenate([pd.C, pd.D], axis=2)
         lo = np.concatenate([np.broadcast_to(lo0, (N, lo0.size)), loN], 1)
         up = np.concatenate([np.broadcast_to(up0, (N, up0.size)), upN], 1)
         lo_r, up_r = rb(pd.iclowN, pd.clowN, pd.icuppN, pd.cuppN)
-        out.append((Scope("block", K, pd.rowI_activeN, lo, up), lo_r, up_r))
+        out.append((Scope("block", None, pd.rowI_activeN, lo, up,
+                          parts=[(pd.C, "cols", 0), (pd.D, "cols", n0)]),
+                    lo_r, up_r))
     if pd.G0.shape[0]:
-        K = np.concatenate(
-            [pd.G0, np.swapaxes(pd.G, 0, 1).reshape(pd.G0.shape[0], -1)], 1)
         lo = np.concatenate([lo0, loN.reshape(-1)])
         up = np.concatenate([up0, upN.reshape(-1)])
         lo_r, up_r = rb(pd.iclowl, pd.clowl, pd.icuppl, pd.cuppl)
-        out.append((Scope("link", K, pd.rowI_activel, lo, up), lo_r, up_r))
+        out.append((Scope("link", None, pd.rowI_activel, lo, up,
+                          parts=[(pd.G0, "cols", 0),
+                                 (pd.G, "linkstrip", n0)]),
+                    lo_r, up_r))
     return out
 
 
@@ -128,29 +165,72 @@ class CooScope:
     """
 
     def __init__(self, scope: Scope):
-        K = scope.K
         self.kind = scope.kind
-        if K.ndim == 3:
-            b, r, c = np.nonzero(K)
-            keep = scope.active[b, r]
-            b, r, c = b[keep], r[keep], c[keep]
-            v = K[b, r, c]
-            lo_e = scope.lo[b, c]
-            up_e = scope.up[b, c]
-            self.m = K.shape[1]
-            rkey = b * self.m + r
-            n_rows = K.shape[0] * K.shape[1]
+        if scope.parts is not None:
+            # entry extraction per part — the big block/link scopes are
+            # never concatenated into a dense K
+            bs, rs, cs, vs = [], [], [], []
+            for arr, tag, off in scope.parts:
+                arr = np.asarray(arr)
+                if tag == "linkstrip":            # [N, mL, n]
+                    i, r_, j = np.nonzero(arr)
+                    bs.append(np.zeros_like(r_))
+                    rs.append(r_)
+                    cs.append(off + i * arr.shape[2] + j)
+                    vs.append(arr[i, r_, j])
+                elif arr.ndim == 3:               # [N, m, k_part]
+                    b_, r_, c_ = np.nonzero(arr)
+                    bs.append(b_)
+                    rs.append(r_)
+                    cs.append(c_ + off)
+                    vs.append(arr[b_, r_, c_])
+                else:                             # [m, k_part]
+                    r_, c_ = np.nonzero(arr)
+                    bs.append(np.zeros_like(r_))
+                    rs.append(r_)
+                    cs.append(c_ + off)
+                    vs.append(arr[r_, c_])
+            b = np.concatenate(bs) if bs else np.zeros(0, np.int64)
+            r = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+            c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+            v = np.concatenate(vs) if vs else np.zeros(0)
+            if scope.active.ndim == 2:
+                keep = scope.active[b, r]
+                self.m = scope.active.shape[1]
+                n_rows = scope.active.size
+            else:
+                keep = scope.active[r]
+                self.m = scope.active.shape[0]
+                n_rows = scope.active.shape[0]
+            b, r, c, v = b[keep], r[keep], c[keep], v[keep]
+            lo_e = (scope.lo[b, c] if scope.lo.ndim == 2
+                    else scope.lo[c])
+            up_e = (scope.up[b, c] if scope.up.ndim == 2
+                    else scope.up[c])
+            rkey = (b * self.m + r) if scope.active.ndim == 2 else r
         else:
-            r, c = np.nonzero(K)
-            keep = scope.active[r]
-            r, c = r[keep], c[keep]
-            v = K[r, c]
-            lo_e = scope.lo[c]
-            up_e = scope.up[c]
-            b = np.zeros_like(r)
-            self.m = K.shape[0]
-            rkey = r
-            n_rows = K.shape[0]
+            K = scope.K
+            if K.ndim == 3:
+                b, r, c = np.nonzero(K)
+                keep = scope.active[b, r]
+                b, r, c = b[keep], r[keep], c[keep]
+                v = K[b, r, c]
+                lo_e = scope.lo[b, c]
+                up_e = scope.up[b, c]
+                self.m = K.shape[1]
+                rkey = b * self.m + r
+                n_rows = K.shape[0] * K.shape[1]
+            else:
+                r, c = np.nonzero(K)
+                keep = scope.active[r]
+                r, c = r[keep], c[keep]
+                v = K[r, c]
+                lo_e = scope.lo[c]
+                up_e = scope.up[c]
+                b = np.zeros_like(r)
+                self.m = K.shape[0]
+                rkey = r
+                n_rows = K.shape[0]
         self.b, self.r, self.c, self.v = b, r, c, v
         self.lo_e, self.up_e = lo_e, up_e
         self.rkey, self.n_rows = rkey, n_rows
