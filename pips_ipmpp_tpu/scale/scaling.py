@@ -344,11 +344,179 @@ class _BucketedView:
         return BucketedArrowheadLP(subs, self.lp.placement)
 
 
+class _SparseEllView(_ArrowView):
+    """Stats/apply adapter for SparseArrowheadLP: identical structure to
+    _ArrowView except the diagonal blocks B/D live in ELL form — their
+    row/col statistics and scaling act on the ELL value arrays directly
+    (row factors index by the entry's row, column factors gather by the
+    entry's column id)."""
+
+    def _bd_scaled_abs(self, ell, r_rows, s_blocks):
+        """|val| * r[row] * s[col] per ELL entry; padded entries stay 0."""
+        sv = jnp.take_along_axis(
+            s_blocks[:, None, :].repeat(ell.val.shape[1], 1),
+            ell.col, axis=2)
+        return jnp.abs(ell.val) * r_rows[:, :, None] * sv
+
+    def row_stats(self, s, rE, rC, op):
+        lp = self.lp
+        red = jnp.maximum if op == "max" else jnp.minimum
+
+        def rows(M0, border, ell, Ml0, Mlb, r0, rb, rl):
+            S0 = _mm(M0) * r0[:, None] * s.first[None, :]
+            first = _rstat(S0, op)
+            Sb1 = _mm(border) * rb[:, :, None] * s.first[None, None, :]
+            SbE = self._bd_scaled_abs(ell, rb, s.blocks)   # [N, m, K]
+            Sl0 = _mm(Ml0) * rl[:, None] * s.first[None, :]
+            Slb = _mm(Mlb) * rl[None, :, None] * s.blocks[:, None, :]
+            if op == "max":
+                blocks = red(_rstat(Sb1, "max"), jnp.max(SbE, -1))
+                stat_l0 = _rstat(Sl0, "max")
+                stat_lb = _rstat(Slb, "max")
+            else:
+                rowmax = jnp.maximum(_rstat(Sb1, "max"), jnp.max(SbE, -1))
+                fb = _MIN_REL_FLOOR * rowmax
+                ell_min = jnp.min(
+                    jnp.where(SbE > fb[:, :, None], SbE, _INF), -1)
+                blocks = red(_rstat(Sb1, "min", fb), ell_min)
+                l0max = _rstat(Sl0, "max")
+                lbmax = _rstat(Slb, "max")
+                gl = jnp.maximum(l0max, jnp.max(lbmax, 0)) \
+                    if lbmax.shape[0] else l0max
+                fl = _MIN_REL_FLOOR * gl
+                stat_l0 = _rstat(Sl0, "min", fl)
+                stat_lb = _rstat(Slb, "min", fl[None, :])
+            if stat_lb.shape[0]:
+                agg = (jnp.max(stat_lb, 0) if op == "max"
+                       else jnp.min(stat_lb, 0))
+            else:
+                agg = jnp.full_like(stat_l0, 0.0 if op == "max" else _INF)
+            link = red(stat_l0, agg)
+            return RVec(first, blocks, link)
+
+        sE = rows(lp.A0, lp.A, lp.B, lp.F0, lp.F, rE.first, rE.blocks,
+                  rE.link)
+        sC = rows(lp.C0, lp.C, lp.D, lp.G0, lp.G, rC.first, rC.blocks,
+                  rC.link)
+        return sE, sC
+
+    def col_stats(self, s, rE, rC, op):
+        lp = self.lp
+        red = jnp.maximum if op == "max" else jnp.minimum
+        # first-stage columns: dense parts only (B/D never touch them)
+        first_parts = [
+            (_mm(lp.A0) * rE.first[:, None] * s.first[None, :], False),
+            (_mm(lp.C0) * rC.first[:, None] * s.first[None, :], False),
+            (_mm(lp.F0) * rE.link[:, None] * s.first[None, :], False),
+            (_mm(lp.G0) * rC.link[:, None] * s.first[None, :], False),
+            (_mm(lp.A) * rE.blocks[:, :, None] * s.first[None, None, :],
+             True),
+            (_mm(lp.C) * rC.blocks[:, :, None] * s.first[None, None, :],
+             True),
+        ]
+
+        def first_stat(statop, floor=None):
+            out = None
+            for S, batched in first_parts:
+                fl = None if floor is None else (
+                    floor[None, :] if batched else floor)
+                st = _cstat(S, statop, fl)
+                if batched and st.shape[0]:
+                    st = (jnp.max(st, 0) if statop == "max"
+                          else jnp.min(st, 0))
+                elif batched:
+                    st = jnp.full(st.shape[1:],
+                                  0.0 if statop == "max" else _INF,
+                                  st.dtype)
+                out = st if out is None else (
+                    jnp.maximum(out, st) if statop == "max"
+                    else jnp.minimum(out, st))
+            return out
+
+        # block columns: transposed ELL (Bt/Dt rows ARE columns) + F/G
+        def block_stat(statop, floor=None):
+            # transposed-ELL entries: row factor = the column's s,
+            # gathered factor = the eq/ineq row's r
+            SbE = jnp.abs(lp.Bt.val) * s.blocks[:, :, None] \
+                * jnp.take_along_axis(
+                    rE.blocks[:, None, :].repeat(lp.Bt.val.shape[1], 1),
+                    lp.Bt.col, axis=2)
+            SdE = jnp.abs(lp.Dt.val) * s.blocks[:, :, None] \
+                * jnp.take_along_axis(
+                    rC.blocks[:, None, :].repeat(lp.Dt.val.shape[1], 1),
+                    lp.Dt.col, axis=2)
+            SF = _mm(lp.F) * rE.link[None, :, None] * s.blocks[:, None, :]
+            SG = _mm(lp.G) * rC.link[None, :, None] * s.blocks[:, None, :]
+            if statop == "max":
+                return jnp.maximum(
+                    jnp.maximum(jnp.max(SbE, -1), jnp.max(SdE, -1)),
+                    jnp.maximum(_cstat(SF, "max"), _cstat(SG, "max")))
+            fl = floor[:, :, None]
+            mn = jnp.minimum(
+                jnp.min(jnp.where(SbE > fl, SbE, _INF), -1),
+                jnp.min(jnp.where(SdE > fl, SdE, _INF), -1))
+            return jnp.minimum(
+                mn, jnp.minimum(_cstat(SF, "min", floor),
+                                _cstat(SG, "min", floor)))
+
+        if op == "max":
+            return XVec(first_stat("max"), block_stat("max"))
+        ffl = _MIN_REL_FLOOR * first_stat("max")
+        bfl = _MIN_REL_FLOOR * block_stat("max")
+        return XVec(first_stat("min", ffl), block_stat("min", bfl))
+
+    def apply(self, s, rE, rC):
+        from pips_ipmpp_tpu.core.sparse import Ell
+        lp = self.lp
+        sB = jnp.take_along_axis(
+            s.blocks[:, None, :].repeat(lp.B.val.shape[1], 1),
+            lp.B.col, axis=2)
+        sD = jnp.take_along_axis(
+            s.blocks[:, None, :].repeat(lp.D.val.shape[1], 1),
+            lp.D.col, axis=2)
+        rBt = jnp.take_along_axis(
+            rE.blocks[:, None, :].repeat(lp.Bt.val.shape[1], 1),
+            lp.Bt.col, axis=2)
+        rDt = jnp.take_along_axis(
+            rC.blocks[:, None, :].repeat(lp.Dt.val.shape[1], 1),
+            lp.Dt.col, axis=2)
+        kw = dict(
+            c0=lp.c0 * s.first, cN=lp.cN * s.blocks,
+            A0=lp.A0 * rE.first[:, None] * s.first[None, :],
+            b0=lp.b0 * rE.first,
+            C0=lp.C0 * rC.first[:, None] * s.first[None, :],
+            A=lp.A * rE.blocks[:, :, None] * s.first[None, None, :],
+            B=Ell(lp.B.val * rE.blocks[:, :, None] * sB, lp.B.col),
+            Bt=Ell(lp.Bt.val * s.blocks[:, :, None] * rBt, lp.Bt.col),
+            bN=lp.bN * rE.blocks,
+            C=lp.C * rC.blocks[:, :, None] * s.first[None, None, :],
+            D=Ell(lp.D.val * rC.blocks[:, :, None] * sD, lp.D.col),
+            Dt=Ell(lp.Dt.val * s.blocks[:, :, None] * rDt, lp.Dt.col),
+            F0=lp.F0 * rE.link[:, None] * s.first[None, :],
+            F=lp.F * rE.link[None, :, None] * s.blocks[:, None, :],
+            bl=lp.bl * rE.link,
+            G0=lp.G0 * rC.link[:, None] * s.first[None, :],
+            G=lp.G * rC.link[None, :, None] * s.blocks[:, None, :],
+            clow0=lp.clow0 * rC.first, cupp0=lp.cupp0 * rC.first,
+            clowN=lp.clowN * rC.blocks, cuppN=lp.cuppN * rC.blocks,
+            clowl=lp.clowl * rC.link, cuppl=lp.cuppl * rC.link,
+            xlow0=lp.xlow0 / s.first, xupp0=lp.xupp0 / s.first,
+            xlowN=lp.xlowN / s.blocks, xuppN=lp.xuppN / s.blocks,
+        )
+        for f in dataclasses.fields(lp):
+            if f.name not in kw:
+                kw[f.name] = getattr(lp, f.name)
+        return type(lp)(**kw)
+
+
 def _view(lp):
     if isinstance(lp, DenseLP):
         return _DenseView(lp)
     if isinstance(lp, ArrowheadLP):
         return _ArrowView(lp)
+    from pips_ipmpp_tpu.core.sparse import SparseArrowheadLP
+    if isinstance(lp, SparseArrowheadLP):
+        return _SparseEllView(lp)
     return _BucketedView(lp)
 
 
@@ -449,6 +617,10 @@ class CurtisReidScaler(_ScalerBase):
         self.cg_iters = cg_iters
 
     def _compute(self, view):
+        if isinstance(view, _SparseEllView):
+            raise NotImplementedError(
+                "Curtis-Reid scaling is not implemented for ELL sparse "
+                "problems; use EQUILIBRIUM or GEOMETRIC_MEAN")
         s1, rE1, rC1 = view.ones()
 
         # pattern & log-magnitude row/col aggregates via the stats machinery

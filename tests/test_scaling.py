@@ -228,3 +228,33 @@ def test_bucketed_scaling_all_modes():
         assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-5
         assert iface.gatherDualSolutionEq().size
         assert iface.gatherSlacksVarsLow().shape == x.shape
+
+
+def test_sparse_ell_scaling():
+    """Scaling composes with the ELL sparse path (the facade previously
+    would have crashed building the view): equilibrium + geometric match
+    the unscaled objective; Curtis-Reid raises a clear error."""
+    import pytest
+    from functools import partial
+    from pips_ipmpp_tpu.core.options import Options, ScalerType
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    from pips_ipmpp_tpu.io.synthetic import random_sparse_arrowhead_lp
+    from pips_ipmpp_tpu.scale import make_scaler
+
+    slp = random_sparse_arrowhead_lp(2, N=4, n=192, mE=96, mI=96,
+                                    nnz_per_row=6, n0=8, m0E=3, m0I=3,
+                                    mEl=3, mIl=3)
+    base = PIPSIPMppTPUInterface(slp, Options())
+    assert base.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    ref = float(base.result.objective)
+
+    for mode in (ScalerType.EQUILIBRIUM, ScalerType.GEOMETRIC_MEAN,
+                 ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM):
+        iface = PIPSIPMppTPUInterface(slp, Options(scaler=mode))
+        st = iface.run()
+        assert st == TerminationStatus.SUCCESSFUL_TERMINATION, (mode, st)
+        assert abs(float(iface.result.objective) - ref) < 1e-4, mode
+
+    with pytest.raises(NotImplementedError):
+        make_scaler(ScalerType.CURTIS_REID).scale(slp)
