@@ -311,6 +311,14 @@ class PIPSIPMppTPUInterface:
             return xflat[:lp.n0], xN
         return xflat[:lp.n0], xflat[lp.n0:].reshape(lp.N, lp.n)
 
+    @staticmethod
+    def _bd_mv(mat, x) -> np.ndarray:
+        """Diagonal-block matvec that accepts dense [N, m, n] or Ell."""
+        from pips_ipmpp_tpu.core.sparse import Ell, ell_mv
+        if isinstance(mat, Ell):
+            return np.asarray(ell_mv(mat, jnp.asarray(x)), np.float64)
+        return np.einsum("nij,nj->ni", np.asarray(mat, np.float64), x)
+
     def _arrow_Ax(self, x0, xN) -> np.ndarray:
         lp = self.lp
         if _is_bucketed(lp):
@@ -325,11 +333,11 @@ class PIPSIPMppTPUInterface:
                 rl = rl + np.einsum("nij,nj->i",
                                     np.asarray(b.F, np.float64), xb)
             return self._flatcat(r0, rNs, rl)
-        A0, A, B = (np.asarray(lp.A0, np.float64), np.asarray(lp.A, np.float64),
-                    np.asarray(lp.B, np.float64))
+        A0, A = (np.asarray(lp.A0, np.float64),
+                 np.asarray(lp.A, np.float64))
         F0, F = np.asarray(lp.F0, np.float64), np.asarray(lp.F, np.float64)
         r0 = A0 @ x0
-        rN = A @ x0 + np.einsum("nij,nj->ni", B, xN)
+        rN = A @ x0 + self._bd_mv(lp.B, xN)   # dense or ELL diag block
         rl = F0 @ x0 + np.einsum("nij,nj->i", F, xN)
         return np.concatenate([r0, rN.reshape(-1), rl])
 
@@ -347,11 +355,11 @@ class PIPSIPMppTPUInterface:
                 rl = rl + np.einsum("nij,nj->i",
                                     np.asarray(b.G, np.float64), xb)
             return self._flatcat(r0, rNs, rl)
-        C0, C, D = (np.asarray(lp.C0, np.float64), np.asarray(lp.C, np.float64),
-                    np.asarray(lp.D, np.float64))
+        C0, C = (np.asarray(lp.C0, np.float64),
+                 np.asarray(lp.C, np.float64))
         G0, G = np.asarray(lp.G0, np.float64), np.asarray(lp.G, np.float64)
         r0 = C0 @ x0
-        rN = C @ x0 + np.einsum("nij,nj->ni", D, xN)
+        rN = C @ x0 + self._bd_mv(lp.D, xN)   # dense or ELL diag block
         rl = G0 @ x0 + np.einsum("nij,nj->i", G, xN)
         return np.concatenate([r0, rN.reshape(-1), rl])
 
@@ -609,20 +617,24 @@ class PIPSIPMppTPUInterface:
                       .reshape(lp.N, lp.mE), y[lp.m0E + lp.N * lp.mE:])
         z0, zN, zl = (z[:lp.m0I], z[lp.m0I:lp.m0I + lp.N * lp.mI]
                       .reshape(lp.N, lp.mI), z[lp.m0I + lp.N * lp.mI:])
-        A0, A, B = (np.asarray(lp.A0, np.float64),
-                    np.asarray(lp.A, np.float64),
-                    np.asarray(lp.B, np.float64))
-        C0, C, D = (np.asarray(lp.C0, np.float64),
-                    np.asarray(lp.C, np.float64),
-                    np.asarray(lp.D, np.float64))
+        A0, A = (np.asarray(lp.A0, np.float64),
+                 np.asarray(lp.A, np.float64))
+        C0, C = (np.asarray(lp.C0, np.float64),
+                 np.asarray(lp.C, np.float64))
         F0, F = np.asarray(lp.F0, np.float64), np.asarray(lp.F, np.float64)
         G0, G = np.asarray(lp.G0, np.float64), np.asarray(lp.G, np.float64)
         g0 = (A0.T @ y0 + np.einsum("nij,ni->j", A, yN) + F0.T @ yl
               + C0.T @ z0 + np.einsum("nij,ni->j", C, zN) + G0.T @ zl)
-        gN = (np.einsum("nij,ni->nj", B, yN)
-              + np.einsum("nij,i->nj", F, yl)
-              + np.einsum("nij,ni->nj", D, zN)
-              + np.einsum("nij,i->nj", G, zl))
+        # B'y / D'z through the stored transposes when the diag blocks
+        # are ELL (non-densified sparse problems)
+        if _is_sparse_arrowhead(lp):
+            BtY = self._bd_mv(lp.Bt, yN)
+            DtZ = self._bd_mv(lp.Dt, zN)
+        else:
+            BtY = np.einsum("nij,ni->nj", np.asarray(lp.B, np.float64), yN)
+            DtZ = np.einsum("nij,ni->nj", np.asarray(lp.D, np.float64), zN)
+        gN = (BtY + np.einsum("nij,i->nj", F, yl)
+              + DtZ + np.einsum("nij,i->nj", G, zl))
         c = np.concatenate([np.asarray(lp.c0, np.float64),
                             np.asarray(lp.cN, np.float64).reshape(-1)])
         return c - np.concatenate([g0, gN.reshape(-1)])

@@ -220,3 +220,23 @@ def test_facade_densify_budget_routing():
     # full gather surface works on the densified problem
     import numpy as np
     assert np.max(np.abs(i_d.gatherPrimalResidsEQ())) < 1e-6
+
+
+def test_facade_gathers_on_ell_sparse():
+    """The full gather surface works on a NON-densified ELL sparse LP
+    (B/D matvecs ride the stored ELL/transpose forms)."""
+    import numpy as np
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+
+    slp = random_sparse_arrowhead_lp(3, N=4, n=192, mE=96, mI=96,
+                                     nnz_per_row=6, n0=8, m0E=3, m0I=3,
+                                     mEl=3, mIl=3)
+    iface = PIPSIPMppTPUInterface(slp, Options())
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
+    assert np.max(np.abs(iface.gatherPrimalResidsIneqLow())) < 1e-6
+    assert np.max(np.abs(iface.gatherDualResids())) < 1e-5
+    x = iface.gatherPrimalSolution()
+    assert iface.gatherDualSolutionVarBounds().shape == x.shape
+    norms = iface.printComplementarityResiduals()
+    assert all(v < 1e-5 for v in norms.values())
