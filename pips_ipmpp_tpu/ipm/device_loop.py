@@ -72,8 +72,8 @@ def solve_on_device(be_ctor, opts: Options, lp):
 
     def eval_all(it):
         res = F.compute_residuals(be, it)
-        return (F.mu(be, it), F.residual_norm(res, be.axis),
-                be.objective(it.x))
+        return res, (F.mu(be, it), F.residual_norm(res, be.axis),
+                     be.objective(it.x))
 
     def cond(carry):
         it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
@@ -81,7 +81,7 @@ def solve_on_device(be_ctor, opts: Options, lp):
 
     def body(carry):
         it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
-        mu_v, res_v, obj_v = eval_all(it)
+        res_it, (mu_v, res_v, obj_v) = eval_all(it)
         # a retry turn re-evaluates the UNCHANGED iterate after a failed
         # factorization: it must not advance the stall detector
         is_retry = attempt > 0
@@ -114,7 +114,10 @@ def solve_on_device(be_ctor, opts: Options, lp):
             rs = jax.tree.map(
                 lambda a, b: jnp.where(attempt == 0, a, b), ns, rstate)
             dp, dd = strat.deltas(rs)
-            new_it, stats = ipm_step(be, it, dp, dd, opts, iteration=k)
+            # res_it: the residuals eval_all just computed for this very
+            # iterate — reuse instead of recomputing across the cond
+            new_it, stats = ipm_step(be, it, dp, dd, opts, iteration=k,
+                                     res=res_it)
             ok = stats.factor_ok
             # on factorization failure: keep iterate, escalate via the
             # strategy (inertia-free; retried next loop turn)
@@ -168,7 +171,7 @@ def solve_on_device(be_ctor, opts: Options, lp):
     it, k, turns, rstate, _, status, _, _, hist = jax.lax.while_loop(
         cond, body, init)
     dp, dd = strat.deltas(rstate)
-    mu_f, res_f, obj_f = eval_all(it)
+    _, (mu_f, res_f, obj_f) = eval_all(it)
     # `turns` = while-loop body executions: iterations + factorization
     # retries + the terminal evaluation turn.  turns - iterations - 1 is
     # the wasted-work count (each retry re-runs the full iteration body).

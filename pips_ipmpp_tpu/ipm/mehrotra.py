@@ -68,13 +68,17 @@ def _alphas(be, it, d, opts: Options):
 
 
 def ipm_step(be, it: F.Iterate, delta_p, delta_d, opts: Options,
-             iteration=None):
+             iteration=None, res=None):
     """One full IPM iteration. Returns (new_iterate, StepStats).
 
     `iteration` (traced int or None) gates the late-iteration mechanisms:
     small-complementarity-pair correctors (first_iter_small_correctors)
-    and the adaptive outer-BiCGStab tolerance."""
-    res = F.compute_residuals(be, it)
+    and the adaptive outer-BiCGStab tolerance.  `res` optionally passes
+    residuals already computed for THIS iterate (the fused loop evaluates
+    them for termination right before stepping; recomputing them across
+    the lax.cond boundary would double the matvec work per iteration)."""
+    if res is None:
+        res = F.compute_residuals(be, it)
     Dx, Ominv = F.kkt_diagonals(be, it)
     fac = be.factorize(Dx, Ominv, delta_p, delta_d)
     ok = be.factorization_ok(fac)
