@@ -96,7 +96,6 @@ class Options:
     # Pallas LDL kernel pins its own dots to HIGHEST; the explicit-Ninv
     # einsum at 3-pass loses too much accuracy and stalls the IPM).
     matmul_precision: str = "highest"
-    residual_dtype: str = "float64"
     primal_regularization: float = 1e-10   # delta_p (Friedlander-Orban style)
     dual_regularization: float = 1e-10     # delta_d
     regularization_growth: float = 100.0   # escalation on factorization failure
@@ -107,8 +106,9 @@ class Options:
     # "ipopt" (zero until failure, mu^0.25 dual, last/3 restart)
     regularization_strategy: str = "ladder"
     refinement_steps: int = 4              # max adaptive refinement sweeps
-                                           # (early exit on small residual)
-    refinement_tolerance: float = 1e-9
+                                           # (early exit on small residual;
+                                           # the exit threshold is relative,
+                                           # 1e-11 * ||rhs|| in the backends)
     outer_bicgstab: bool = False           # OUTER_SOLVE=2 analog
     outer_max_iters: int = 8
     sc_blockwise: int = 0                  # >0: stream the Schur computation
@@ -145,7 +145,6 @@ class Options:
     presolve_max_rounds: int = 2           # PRESOLVE_MAX_ROUNDS
 
     # ---- parallel ----
-    mesh_axis: str = "blocks"
     hierarchical: bool = False
     hierarchical_layers: int = 2
     hierarchical_num_groups: int = 0   # 0 = auto (divisor of N near sqrt(N),
