@@ -59,11 +59,10 @@ def model_cleanup(pd: PresolveData) -> int:
     for M in (pd.A0, pd.C0, pd.F0, pd.G0):
         n += _drop_tiny(M, r0)
     for M in (pd.A, pd.C):                    # first-stage borders
-        for i in range(M.shape[0]):
-            n += _drop_tiny(M[i], r0)
+        n += _drop_tiny(M, r0)                # [N, m, n0], range broadcast
+    rangesN = np.stack([ranges_of(i) for i in range(pd.N)])   # [N, n]
     for M in (pd.B, pd.D, pd.F, pd.G):        # block-variable columns
-        for i in range(M.shape[0]):
-            n += _drop_tiny(M[i], ranges_of(i))
+        n += _drop_tiny(M, rangesN)
 
     # empty rows (vectorized nnz over scopes).  Infeasibility tests are
     # RELATIVE to the substitution magnitudes this row absorbed: after
@@ -119,12 +118,16 @@ def _drop_tiny(M, col_range=None) -> int:
         if M.dtype == np.float64 and M.flags.c_contiguous:
             return native.drop_tiny_entries(M, TINY_ABS, TINY_REL)
         col_range = np.zeros(M.shape[-1])
+    # col_range broadcasts along the row axis: [n] against [m, n] or
+    # [N, 1, n] (via expand_dims) against batched [N, m, n]
+    cr = np.expand_dims(col_range, -2) if col_range.ndim == M.ndim - 1 \
+        else col_range
     rowmax = np.max(np.abs(M), axis=-1, keepdims=True)
     absM = np.abs(M)
     with np.errstate(invalid="ignore"):
-        impact_ok = np.where(np.isfinite(col_range)[None, :],
-                             absM * np.where(np.isfinite(col_range),
-                                             col_range, 0.0) < FEASTOL,
+        impact_ok = np.where(np.isfinite(cr),
+                             absM * np.where(np.isfinite(cr),
+                                             cr, 0.0) < FEASTOL,
                              False)
     mask = ((absM > 0) & impact_ok
             & ((absM < TINY_ABS) | (absM < TINY_REL * rowmax)))
@@ -140,8 +143,7 @@ def _scope_singletons(scope):
     """Vectorized singleton-row detection: yields the row index tuples of
     active rows with exactly one nonzero (candidates only — callers
     re-validate and re-locate the column against LIVE data)."""
-    nnz = np.count_nonzero(scope.K, axis=-1)
-    single = (nnz == 1) & scope.active
+    single = (scope.row_nnz() == 1) & scope.active
     for ix in np.argwhere(single):
         yield ix
 
@@ -307,17 +309,25 @@ def parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
 
 def _scope_submatrices(scope):
     """Yield (M [rows, k], addr list[(blk, r)]) per comparable row group:
-    one group for first/link scopes, one per block for block scopes."""
+    one group for first/link scopes, one per block for block scopes.
+    Block scopes assemble per-block rows from the scope PARTS so the full
+    [N, m, k] concatenation is never materialized."""
     if scope.kind == "block":
-        for i in range(scope.K.shape[0]):
-            rows = np.nonzero(scope.active[i]
-                              & (np.count_nonzero(scope.K[i], -1) > 0))[0]
+        nnz = scope.row_nnz()
+        for i in range(scope.active.shape[0]):
+            rows = np.nonzero(scope.active[i] & (nnz[i] > 0))[0]
             if rows.size >= 2:
-                yield scope.K[i][rows], [(int(i), int(r)) for r in rows]
+                if scope.parts is not None:
+                    M = np.concatenate(
+                        [np.asarray(arr)[i][rows]
+                         for arr, tag, off in scope.parts], axis=-1)
+                else:
+                    M = scope.K[i][rows]
+                yield M, [(int(i), int(r)) for r in rows]
     else:
         blk = FIRST if scope.kind == "first" else LINK
         rows = np.nonzero(scope.active
-                          & (np.count_nonzero(scope.K, -1) > 0))[0]
+                          & (scope.row_nnz() > 0))[0]
         if rows.size >= 2:
             yield scope.K[rows], [(blk, int(r)) for r in rows]
 
