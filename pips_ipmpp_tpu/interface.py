@@ -159,18 +159,23 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.ipm.solver import IPMSolver
             from pips_ipmpp_tpu.linalg.hier_backend import (
                 HierArrowBackend, build_hierarchical_lp)
-            if self.options.hierarchical_layers != 2:
-                # no silent no-op: the reference recurses splitTree for
-                # HIERARCHICAL_APPROACH_N_LAYERS > 2
-                # (DistributedTreeCallbacks.C:1123); this backend
-                # implements the (default) 2-layer scheme only
+            layers = self.options.hierarchical_layers
+            if layers not in (2, 3):
+                # no silent no-op (the reference recurses splitTree for
+                # HIERARCHICAL_APPROACH_N_LAYERS,
+                # DistributedTreeCallbacks.C:1123): 2- and 3-layer
+                # schemes are implemented; deeper nesting is not
                 raise NotImplementedError(
-                    "hierarchical_layers="
-                    f"{self.options.hierarchical_layers}: only the "
-                    "2-layer hierarchical scheme is implemented")
+                    f"hierarchical_layers={layers}: 2- and 3-layer "
+                    "hierarchical schemes are implemented")
             ng = self.options.hierarchical_num_groups or _auto_groups(lp.N)
+            # layers=3: coarse super-groups of fine groups; rows local to
+            # a coarse group are eliminated by a batched Schur stage at
+            # the top (HierMeta.n_coarse)
+            nc = _auto_groups(ng) if layers == 3 else 0
             self._orig_link_dims = (lp.mEl, lp.mIl)
-            lp, self._hier_meta = build_hierarchical_lp(lp, ng)
+            lp, self._hier_meta = build_hierarchical_lp(lp, ng,
+                                                        n_coarse=nc)
             fd = resolve_factor_dtype(self.options)
             self._solver = IPMSolver(
                 partial(HierArrowBackend, meta=self._hier_meta,

@@ -57,10 +57,19 @@ class HierMeta:
     group_size: int          # blocks per group
     mElL: int                # padded local eq link rows per group
     mIlL: int
-    mElG: int                # global eq link rows
-    mIlG: int
+    mElG: int                # EFFECTIVE global eq link rows (includes the
+    mIlG: int                # coarse section when n_coarse > 0)
     permE: np.ndarray        # new eq-link layout -> old row index (-1 = pad)
     permI: np.ndarray
+    # ---- third layer (hierarchical_layers=3): rows local to a COARSE
+    # group of fine groups sit at the FRONT of the "global" section,
+    # padded to uniform (mEl2, mIl2) per coarse group, and are
+    # eliminated by a batched per-coarse-group Cholesky at the top
+    # (the reference's recursive splitTree, DistributedTreeCallbacks.C:
+    # 1123).  n_coarse == 0 -> plain 2-layer scheme.
+    n_coarse: int = 0
+    mEl2: int = 0            # padded coarse-local eq rows per coarse group
+    mIl2: int = 0
 
 
 def analyze_link_locality(F: np.ndarray, n_groups: int) -> np.ndarray:
@@ -81,31 +90,59 @@ def analyze_link_locality(F: np.ndarray, n_groups: int) -> np.ndarray:
     return owner
 
 
-def build_hierarchical_lp(lp: ArrowheadLP, n_groups: int
+def build_hierarchical_lp(lp: ArrowheadLP, n_groups: int,
+                          n_coarse: int = 0
                           ) -> tuple[ArrowheadLP, HierMeta]:
-    """Permute+pad linking rows into hierarchical layout."""
+    """Permute+pad linking rows into hierarchical layout.
+
+    `n_coarse > 0` adds a THIRD layer: rows whose support exceeds one
+    fine group but fits one coarse group (of n_groups/n_coarse fine
+    groups) are placed at the front of the global section, padded per
+    coarse group, and eliminated by a batched coarse Schur stage before
+    the dense top factorization."""
     if lp.N % n_groups != 0:
         raise ValueError(f"N={lp.N} not divisible by n_groups={n_groups}")
+    if n_coarse and n_groups % n_coarse != 0:
+        raise ValueError(f"n_groups={n_groups} not divisible by "
+                         f"n_coarse={n_coarse}")
     Fn = np.asarray(lp.F)
     Gn = np.asarray(lp.G)
     ownE = analyze_link_locality(Fn, n_groups) if lp.mEl else np.zeros(0, int)
     ownI = analyze_link_locality(Gn, n_groups) if lp.mIl else np.zeros(0, int)
+    if n_coarse:
+        ownE2 = (analyze_link_locality(Fn, n_coarse) if lp.mEl
+                 else np.zeros(0, int))
+        ownI2 = (analyze_link_locality(Gn, n_coarse) if lp.mIl
+                 else np.zeros(0, int))
+    else:
+        ownE2 = np.full_like(ownE, -1)
+        ownI2 = np.full_like(ownI, -1)
 
-    def layout(owner):
+    def layout(owner, owner2):
         locs = [np.nonzero(owner == g)[0] for g in range(n_groups)]
-        glob = np.nonzero(owner == -1)[0]
+        rest = owner == -1
+        # coarse-local among the rest; truly global otherwise
+        coarse = [np.nonzero(rest & (owner2 == c))[0]
+                  for c in range(n_coarse)]
+        glob = np.nonzero(rest & (owner2 == -1))[0]
         mL = max((len(l) for l in locs), default=0)
+        mL2 = max((len(c) for c in coarse), default=0)
         perm = []
         for g in range(n_groups):
             perm += list(locs[g]) + [-1] * (mL - len(locs[g]))
+        for c in range(n_coarse):
+            perm += list(coarse[c]) + [-1] * (mL2 - len(coarse[c]))
         perm += list(glob)
-        return np.asarray(perm, np.int64), mL, len(glob)
+        # mG = EFFECTIVE global count (coarse section + true globals)
+        return (np.asarray(perm, np.int64), mL,
+                n_coarse * mL2 + len(glob), mL2)
 
-    permE, mElL, mElG = layout(ownE)
-    permI, mIlL, mIlG = layout(ownI)
+    permE, mElL, mElG, mEl2 = layout(ownE, ownE2)
+    permI, mIlL, mIlG, mIl2 = layout(ownI, ownI2)
     meta = HierMeta(n_groups=n_groups, group_size=lp.N // n_groups,
                     mElL=mElL, mIlL=mIlL, mElG=mElG, mIlG=mIlG,
-                    permE=permE, permI=permI)
+                    permE=permE, permI=permI,
+                    n_coarse=n_coarse, mEl2=mEl2, mIl2=mIl2)
 
     def pick(arr, perm, pad_value, axis):
         arr = np.asarray(arr)
@@ -181,6 +218,10 @@ class HierFactors:
     leaf_ok: jax.Array = True
     Wd: jax.Array = ()     # dist_root: Sdual^{-1}[:, own cols]
     root_ok: jax.Array = True
+    # ---- third layer (n_coarse > 0): batched coarse-Schur factors ----
+    L2: jax.Array = ()     # [C, k2, k2] Cholesky of -(coarse dual block)
+    U1: jax.Array = ()     # [C, n0, k2]    S12[:, coarse_c]
+    U2: jax.Array = ()     # [C, nrest, k2] S22[rest, coarse_c]
 
 
 class HierArrowBackend(ArrowBackend):
@@ -215,6 +256,43 @@ class HierArrowBackend(ArrowBackend):
                 f"n_groups={meta.n_groups} not divisible by "
                 f"n_shards={self.n_shards}: groups must not straddle devices")
         self.G_loc = meta.n_groups // self.n_shards
+
+        # ---- third-layer (coarse) static index maps over the dual
+        # vector [m0E | m0I | ylG_eff | zlG_eff]: coarse rows of group c
+        # = eq rows [c*mEl2, (c+1)*mEl2) of the ylG section + ineq rows
+        # [c*mIl2, (c+1)*mIl2) of the zlG section ----
+        if meta.n_coarse:
+            if dist_root:
+                raise ValueError("hierarchical_layers=3 is not yet "
+                                 "composable with dist_root")
+            m0E, m0I = lp.m0E, lp.m0I
+            base_e = m0E + m0I
+            base_i = m0E + m0I + meta.mElG
+            C2, mE2, mI2 = meta.n_coarse, meta.mEl2, meta.mIl2
+            idxc = np.concatenate([
+                np.stack([np.arange(base_e + c * mE2,
+                                    base_e + (c + 1) * mE2)
+                          for c in range(C2)]),
+                np.stack([np.arange(base_i + c * mI2,
+                                    base_i + (c + 1) * mI2)
+                          for c in range(C2)])], axis=1)   # [C2, mE2+mI2]
+            nD = m0E + m0I + meta.mElG + meta.mIlG
+            rest_mask = np.ones(nD, bool)
+            rest_mask[idxc.reshape(-1)] = False
+            self._idx_coarse = jnp.asarray(idxc)
+            self._idx_rest = jnp.asarray(np.nonzero(rest_mask)[0])
+            # unit-diagonal protection for PADDED coarse eq rows (zero
+            # rows; delta_d = 0 under the Ipopt strategy would give a
+            # zero pivot) — same rule as the fine-level padE
+            G = meta.n_groups
+            padE2 = (meta.permE[G * meta.mElL:
+                                G * meta.mElL + C2 * mE2] < 0
+                     ).reshape(C2, mE2)
+            padI2 = (meta.permI[G * meta.mIlL:
+                                G * meta.mIlL + C2 * mI2] < 0
+                     ).reshape(C2, mI2)
+            self._pad_coarse = jnp.asarray(
+                np.concatenate([padE2, padI2], axis=1).astype(np.float64))
 
     def _dev(self):
         """Device index along the mesh axis (0 when undistributed)."""
@@ -396,6 +474,36 @@ class HierArrowBackend(ArrowBackend):
         S22 = S22.at[m0E + m0I:, m0E + m0I:].add(
             -contrib[n0:, n0:])
 
+        extra = {}
+        coarse_ok = jnp.asarray(True)
+        if m.n_coarse:
+            # ---- third layer: eliminate the coarse-local rows of the
+            # top dual block BEFORE the dense factorization.  Their
+            # cross-coarse-group Schur entries are exactly zero (disjoint
+            # block support), so the block is [C2, k2, k2] block-diagonal
+            # and one batched Cholesky replaces their share of the dense
+            # root cube (the reference's recursive splitTree layer,
+            # DistributedTreeCallbacks.C:1123). ----
+            S11f = S11.astype(fd)
+            S12f = S12.astype(fd)
+            S22f = S22.astype(fd)
+            idxc, idxr = self._idx_coarse, self._idx_rest
+            Scc = S22f[idxc[:, :, None], idxc[:, None, :]]   # [C2, k2, k2]
+            negS2 = -Scc + jax.vmap(jnp.diag)(self._pad_coarse.astype(fd))
+            L2 = jnp.linalg.cholesky(negS2)
+            U1 = jnp.swapaxes(S12f[:, idxc], 0, 1)           # [C2, n0, k2]
+            U2 = jnp.swapaxes(S22f[idxr][:, idxc], 0, 1)     # [C2, nr, k2]
+            W1 = _bchol_solve(L2, jnp.swapaxes(U1, 1, 2))    # [C2, k2, n0]
+            W2 = _bchol_solve(L2, jnp.swapaxes(U2, 1, 2))    # [C2, k2, nr]
+            # Schur downdate onto the remaining (x0, m0, global) system:
+            # Scc is negative definite, so the downdate ADDS the PSD
+            # U negS2^{-1} U' terms (see _root_solve for the solve side)
+            S11 = S11f + jnp.einsum("cnk,ckm->nm", U1, W1)
+            S12 = S12f[:, idxr] + jnp.einsum("cnk,ckr->nr", U1, W2)
+            S22 = S22f[idxr][:, idxr] + jnp.einsum("crk,cks->rs", U2, W2)
+            coarse_ok = jnp.all(jnp.isfinite(L2))
+            extra = dict(L2=L2, U1=U1.astype(dt), U2=U2.astype(dt))
+
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
         if self.dist_root:
             # distribute the top dual-Schur factorization over the SAME
@@ -437,7 +545,34 @@ class HierArrowBackend(ArrowBackend):
             chol1=chol1, T=T.astype(dt), chol2=chol2,
             Einv0=Einv0, Om0=Om0, OmlG=OmlG, OmlL=OmlL,
             delta_p=jnp.asarray(delta_p), delta_d=jnp.asarray(delta_d, dt),
-            Ninv=Ninv, leaf_ok=leaf_ok)
+            Ninv=Ninv, leaf_ok=leaf_ok, root_ok=coarse_ok, **extra)
+
+    def _root_solve(self, fac, p, q):
+        """Top solve; with the third layer, eliminate the coarse rows
+        first, solve the reduced dense system (parent path), then
+        back-substitute:  dc = -negS2^{-1}(qc - U1' a - U2' dr)."""
+        m = self.meta
+        if not m.n_coarse or getattr(fac.L2, "ndim", 0) != 3:
+            return super()._root_solve(fac, p, q)
+        fd = self.factor_dtype
+        dt = q.dtype
+        idxc, idxr = self._idx_coarse, self._idx_rest
+        U1 = fac.U1.astype(fd)
+        U2 = fac.U2.astype(fd)
+        qc = q[idxc].astype(fd)                            # [C2, k2]
+        t = _bchol_solve(fac.L2, qc[..., None])[..., 0]    # negS2^{-1} qc
+        p2 = (p.astype(fd)
+              + jnp.einsum("cnk,ck->n", U1, t)).astype(dt)
+        qr2 = (q[idxr].astype(fd)
+               + jnp.einsum("crk,ck->r", U2, t)).astype(dt)
+        a, dr = super()._root_solve(fac, p2, qr2)
+        rhs = (qc - jnp.einsum("cnk,n->ck", U1, a.astype(fd))
+               - jnp.einsum("crk,r->ck", U2, dr.astype(fd)))
+        dc = -_bchol_solve(fac.L2, rhs[..., None])[..., 0]
+        d = jnp.zeros(q.shape, dt)
+        d = d.at[idxr].set(dr)
+        d = d.at[idxc.reshape(-1)].set(dc.reshape(-1).astype(dt))
+        return a, d
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
         ok = (fac.leaf_ok & fac.root_ok

@@ -122,3 +122,53 @@ def test_hier_f32_factor_dtype():
     assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION
     ref = IPMSolver(ArrowBackend, Options()).solve(lp)
     assert abs(r.objective - ref.objective) < 1e-4 * max(1, abs(ref.objective))
+
+
+def test_three_layer_hierarchy():
+    """hierarchical_layers=3: rows local to a COARSE group of fine groups
+    are eliminated by a batched per-coarse-group Schur stage at the top
+    (the reference's recursive splitTree).  Must reproduce the flat
+    solve exactly; the facade wires layers=3."""
+    from functools import partial
+
+    from pips_ipmpp_tpu.core.options import Options
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    from pips_ipmpp_tpu.io.synthetic import random_hier_arrowhead_lp
+    from pips_ipmpp_tpu.ipm.solver import IPMSolver
+    from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+    from pips_ipmpp_tpu.linalg.hier_backend import (HierArrowBackend,
+                                                    build_hierarchical_lp)
+
+    # generator locality at 4-group granularity; solving with 8 fine
+    # groups makes the 4-group-local rows COARSE-local (they span two
+    # fine groups) — a genuine third layer
+    lp = random_hier_arrowhead_lp(11, N=16, n_groups=4, loc_eq=3,
+                                  loc_iq=2, glob_eq=2, glob_iq=1)
+    ref = IPMSolver(ArrowBackend, Options()).solve(lp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    hlp, meta = build_hierarchical_lp(lp, 8, n_coarse=4)
+    assert meta.n_coarse == 4
+    assert meta.mEl2 > 0 or meta.mIl2 > 0   # the third layer is non-empty
+    r3 = IPMSolver(partial(HierArrowBackend, meta=meta),
+                   Options()).solve(hlp)
+    assert r3.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r3.objective - ref.objective) < 1e-6 * max(
+        1.0, abs(ref.objective))
+    assert abs(r3.iterations - ref.iterations) <= 2
+
+    # facade: layers=3 end to end, gathers in original row order
+    iface = PIPSIPMppTPUInterface(lp, Options(
+        hierarchical=True, hierarchical_layers=3,
+        hierarchical_num_groups=8))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - float(ref.objective)) < 1e-5
+    import numpy as np
+    assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
+
+    # layers=4 still rejected loudly
+    import pytest
+    with pytest.raises(NotImplementedError):
+        PIPSIPMppTPUInterface(lp, Options(
+            hierarchical=True, hierarchical_layers=4)).run()
