@@ -124,8 +124,10 @@ class Options:
     # (MB) and run them on the batched-dense MXU path (the SURVEY's
     # "decide empirically per block size" sizing rule: on TPU a dense
     # factorization beats irregular gathers by orders of magnitude at
-    # 10^3-row-class blocks).  0 = never densify (the ELL+CG leaf).
-    sparse_densify_max_mb: float = 0.0
+    # 10^3-row-class blocks).  Default 256 MB so a default-config user
+    # gets the fast path automatically; 0 = never densify (always the
+    # ELL leaf).
+    sparse_densify_max_mb: float = 256.0
     sc_diag_dom_bound: float = 0.001       # diagDomBounds[0]
     it_root_tol: float = 1e-9
     it_root_maxiter: int = 200

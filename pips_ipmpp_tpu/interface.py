@@ -119,6 +119,12 @@ class PIPSIPMppTPUInterface:
                 self._solver = IPMSolver(
                     partial(SparseArrowBackend, factor_dtype=fd),
                     self.options)
+                # Pallas lane-gather leaf kernel (pallas_spmv.py): tiles
+                # must be built from the SCALED problem, so run()
+                # rebuilds the solver after scaling when this is set
+                import jax
+                self._sparse_tiled = (jnp.dtype(fd) == jnp.float32
+                                      and jax.default_backend() == "tpu")
         elif _is_bucketed(lp):
             if (self.options.banded_leaf or self.options.banded_root
                     or self.options.hierarchical):
@@ -150,6 +156,20 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.scale import make_scaler
             self._scaler = make_scaler(self.options.scaler)
             lp = self._scaler.scale(lp)
+        # sparse leaf kernel: the tiled weights are the SCALED matrix
+        # values, so the solver is (re)built here once the final problem
+        # is known (pallas_spmv.py; same late-rebuild pattern as the
+        # hierarchical transform below)
+        if getattr(self, "_sparse_tiled", False) and _is_sparse_arrowhead(lp):
+            from functools import partial
+
+            from pips_ipmpp_tpu.ipm.solver import IPMSolver
+            from pips_ipmpp_tpu.linalg.sparse_backend import (
+                SparseArrowBackend, sparse_leaf_tiles)
+            fd = resolve_factor_dtype(self.options)
+            self._solver = IPMSolver(
+                partial(SparseArrowBackend, factor_dtype=fd,
+                        tiles=sparse_leaf_tiles(lp)), self.options)
         # hierarchical two-level Schur (reference switchToHierarchicalData,
         # PIPSIPMppInterface.cpp:81-89): transform last so every other
         # stage sees the flat layout
@@ -773,6 +793,39 @@ class PIPSIPMppTPUInterface:
             nb = lp.buckets[bi].n
             return x[off + pos * nb: off + (pos + 1) * nb]
         return x[lp.n0 + scen * lp.n: lp.n0 + (scen + 1) * lp.n]
+
+    def allgatherBlocksizes(self) -> tuple:
+        """Per-block (column, equality-row, inequality-row) lengths of the
+        ORIGINAL problem, as three uint32 arrays:
+
+        - cols:  [n0, n_1, ..., n_N]                       (N+1 entries)
+        - eq:    [m0E, mE_1, ..., mE_N, mEl]               (N+2 entries)
+        - ineq:  [m0I, mI_1, ..., mI_N, mIl]               (N+2 entries)
+
+        Reference PIPSIPMppInterface::allgatherBlocksizes
+        (PIPSIPMppInterface.hpp:84, .cpp:432-497): ranks sum their local
+        child lengths; here the single-controller layout holds every
+        block, so the "allgather" is a direct read."""
+        lp = self.lp
+        if isinstance(lp, DenseLP):
+            raise TypeError("allgatherBlocksizes requires a block problem")
+        u32 = np.uint32
+        if _is_bucketed(lp):
+            b0 = lp.buckets[0]
+            cols = [lp.n0] + [lp.buckets[bi].n for bi, _ in lp.placement]
+            eq = ([b0.m0E] + [lp.buckets[bi].mE for bi, _ in lp.placement]
+                  + [b0.mEl])
+            ineq = ([b0.m0I] + [lp.buckets[bi].mI for bi, _ in lp.placement]
+                    + [b0.mIl])
+            return (np.array(cols, u32), np.array(eq, u32),
+                    np.array(ineq, u32))
+        cols = np.full(lp.N + 1, lp.n, u32)
+        cols[0] = lp.n0
+        eq = np.full(lp.N + 2, lp.mE, u32)
+        eq[0], eq[-1] = lp.m0E, lp.mEl
+        ineq = np.full(lp.N + 2, lp.mI, u32)
+        ineq[0], ineq[-1] = lp.m0I, lp.mIl
+        return cols, eq, ineq
 
     def printComplementarityResiduals(self) -> dict:
         """inf-norms of the complementarity products v*gamma, w*phi,

@@ -129,3 +129,32 @@ def test_facade_banded_options():
     with _pt.raises(ValueError):
         PIPSIPMppTPUInterface(lp, Options(banded_leaf=True,
                                           hierarchical=True))
+
+
+def test_allgather_blocksizes():
+    """allgatherBlocksizes returns original per-block column/eq-row/
+    ineq-row lengths (reference PIPSIPMppInterface.hpp:84, .cpp:432-497):
+    cols = [n0, n_1..n_N]; eq = [m0E, mE_1..mE_N, mEl];
+    ineq = [m0I, mI_1..mI_N, mIl]."""
+    lp = random_arrowhead_lp(7, N=3, n=10, mE=4, mI=3, n0=5,
+                             m0E=2, m0I=2, mEl=2, mIl=1)
+    iface = PIPSIPMppTPUInterface(lp, Options())
+    cols, eq, ineq = iface.allgatherBlocksizes()
+    assert cols.dtype == np.uint32
+    assert list(cols) == [5, 10, 10, 10]
+    assert list(eq) == [2, 4, 4, 4, 2]
+    assert list(ineq) == [2, 3, 3, 3, 1]
+    # consistency with the totals the gathers use
+    assert cols.sum() == lp.total_vars()
+    assert eq.sum() == lp.total_eq()
+    assert ineq.sum() == lp.total_ineq()
+
+    # bucketed: per-block sizes come from each block's bucket
+    from tests.test_bucketed import SIZES, _problem
+    from pips_ipmpp_tpu.core.bucketed import make_bucketed_arrowhead_lp
+    blocks, first, le, li = _problem(np.random.default_rng(3), SIZES)
+    blp = make_bucketed_arrowhead_lp(blocks, first, le, li, quantum=16)
+    bi = PIPSIPMppTPUInterface(blp, Options())
+    bcols, beq, bineq = bi.allgatherBlocksizes()
+    assert len(bcols) == blp.N + 1 and len(beq) == blp.N + 2
+    assert bcols.sum() == blp.total_vars()

@@ -245,13 +245,15 @@ def test_sparse_ell_scaling():
     slp = random_sparse_arrowhead_lp(2, N=4, n=192, mE=96, mI=96,
                                     nnz_per_row=6, n0=8, m0E=3, m0I=3,
                                     mEl=3, mIl=3)
-    base = PIPSIPMppTPUInterface(slp, Options())
+    # keep the ELL path under test: opt out of the default densify budget
+    base = PIPSIPMppTPUInterface(slp, Options(sparse_densify_max_mb=0))
     assert base.run() == TerminationStatus.SUCCESSFUL_TERMINATION
     ref = float(base.result.objective)
 
     for mode in (ScalerType.EQUILIBRIUM, ScalerType.GEOMETRIC_MEAN,
                  ScalerType.GEOMETRIC_MEAN_EQUILIBRIUM):
-        iface = PIPSIPMppTPUInterface(slp, Options(scaler=mode))
+        iface = PIPSIPMppTPUInterface(
+            slp, Options(scaler=mode, sparse_densify_max_mb=0))
         st = iface.run()
         assert st == TerminationStatus.SUCCESSFUL_TERMINATION, (mode, st)
         assert abs(float(iface.result.objective) - ref) < 1e-4, mode

@@ -203,17 +203,20 @@ def test_sparse_cg_leaf_converged_8blocks_8192rows_reference_scale():
 
 def test_facade_densify_budget_routing():
     """sparse_densify_max_mb routes in-budget sparse LPs to the dense MXU
-    path (same optimum, gathers work); 0 keeps the ELL+CG leaf."""
+    path (same optimum, gathers work); 0 opts out and keeps the ELL leaf.
+    The DEFAULT options densify (256 MB budget, core/options.py) — a
+    default-config user gets the fast path without knowing the knob."""
     from pips_ipmpp_tpu.core.lp import ArrowheadLP
     from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
 
     slp = random_sparse_arrowhead_lp(1, N=4, n=192, mE=96, mI=96,
                                      nnz_per_row=6, n0=8, m0E=3, m0I=3,
                                      mEl=3, mIl=3)
-    i_cg = PIPSIPMppTPUInterface(slp, Options())
+    i_cg = PIPSIPMppTPUInterface(slp, Options(sparse_densify_max_mb=0))
+    assert not isinstance(i_cg.lp, ArrowheadLP)  # 0 = opt-out: ELL leaf
     assert i_cg.run() == TerminationStatus.SUCCESSFUL_TERMINATION
 
-    i_d = PIPSIPMppTPUInterface(slp, Options(sparse_densify_max_mb=64))
+    i_d = PIPSIPMppTPUInterface(slp, Options())
     assert isinstance(i_d.lp, ArrowheadLP)     # densified at intake
     assert i_d.run() == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(i_d.getObjective() - float(i_cg.result.objective)) < 1e-6
@@ -231,7 +234,7 @@ def test_facade_gathers_on_ell_sparse():
     slp = random_sparse_arrowhead_lp(3, N=4, n=192, mE=96, mI=96,
                                      nnz_per_row=6, n0=8, m0E=3, m0I=3,
                                      mEl=3, mIl=3)
-    iface = PIPSIPMppTPUInterface(slp, Options())
+    iface = PIPSIPMppTPUInterface(slp, Options(sparse_densify_max_mb=0))
     assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
     assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
     assert np.max(np.abs(iface.gatherPrimalResidsIneqLow())) < 1e-6
