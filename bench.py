@@ -312,49 +312,60 @@ def main():
     except Exception as e:
         out["cfg_sparse_8x2048_densified"] = {"error": str(e)[:120]}
 
-    # ---- genuinely sparse leaf (ELL + CG): converged TTO ----
-    # (round-3 verdict #3: a bench entry for the sparse config; the full
-    # 8x8192 reference-scale proof is the CPU f64 run recorded in
-    # ROUND_NOTES.md round 4).  Runs LAST: cg_iters > ~100 in f32 makes
-    # the long CG while_loop crash the axon TPU worker (observed with
-    # and without the Pallas root), which would take later configs down
-    # with it.  cg_iters=100 + the reference's reduced-accuracy targets
-    # (IP_ACCURACY_REDUCED: mu 1e-5 / resid 1e-3) match the f32 CG
-    # accuracy floor.
+    # ---- genuinely sparse leaf (Pallas tiled lane-gather kernel + CG):
+    # converged non-densified TTO.  Round-5: the lane-gather SpMV
+    # (linalg/pallas_spmv.py) replaced XLA's row gathers in the CG leaf —
+    # 259.5 s (BENCH_r04) -> ~2 s at this shape, within ~6x of the
+    # densified twin.  Runs LAST: cg_iters > ~100 in f32 makes the long
+    # CG while_loop crash the axon TPU worker.  cg_iters=100 + the
+    # reference's reduced-accuracy targets (IP_ACCURACY_REDUCED: mu 1e-5
+    # / resid 1e-3) match the f32 CG accuracy floor.
+    def run_sparse_cfg(n, mE, mI):
+        from pips_ipmpp_tpu.core.status import TerminationStatus
+        from pips_ipmpp_tpu.io.synthetic import \
+            random_sparse_arrowhead_lp
+        from pips_ipmpp_tpu.linalg.sparse_backend import (
+            SparseArrowBackend, sparse_leaf_tiles)
+        slp = random_sparse_arrowhead_lp(
+            0, N=8, n=n, mE=mE, mI=mI, nnz_per_row=10,
+            n0=16, m0E=4, m0I=4, mEl=4, mIl=4, dtype=dtype)
+        sv = IPMSolver(partial(SparseArrowBackend, factor_dtype=dtype,
+                               cg_iters=100),
+                       Options(max_gondzio_correctors=1,
+                               refinement_steps=2,
+                               reduced_accuracy=True,
+                               matmul_precision="high"),
+                       aux=dict(tiles=sparse_leaf_tiles(slp)))
+        # HOST loop (not solve_fused): the fused nesting of the CG
+        # while_loop has crashed the axon worker; the host loop with
+        # cg_iters=100 is the empirically safe path
+        r = sv.solve(slp)
+        assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
+            r.status
+        slp2 = dataclasses.replace(slp, c0=slp.c0 * (1 + 1e-6))
+        t0 = time.perf_counter()
+        r = sv.solve(slp2)         # distinct input (tunnel caching)
+        dtt = time.perf_counter() - t0
+        assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
+            r.status
+        return r.iterations, dtt
+
     try:
-        def run_sparse():
-            from pips_ipmpp_tpu.core.status import TerminationStatus
-            from pips_ipmpp_tpu.io.synthetic import \
-                random_sparse_arrowhead_lp
-            from pips_ipmpp_tpu.linalg.sparse_backend import \
-                SparseArrowBackend
-            slp = random_sparse_arrowhead_lp(
-                0, N=8, n=2048, mE=1024, mI=1024, nnz_per_row=10,
-                n0=16, m0E=4, m0I=4, mEl=4, mIl=4, dtype=dtype)
-            sv = IPMSolver(partial(SparseArrowBackend, factor_dtype=dtype,
-                                   cg_iters=100),
-                           Options(max_gondzio_correctors=1,
-                                   refinement_steps=2,
-                                   reduced_accuracy=True,
-                                   matmul_precision="high"))
-            # HOST loop (not solve_fused): the fused nesting of the CG
-            # while_loop has crashed the axon worker; the host loop with
-            # cg_iters=100 is the empirically safe path
-            r = sv.solve(slp)
-            assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
-                r.status
-            slp2 = dataclasses.replace(slp, c0=slp.c0 * (1 + 1e-6))
-            t0 = time.perf_counter()
-            r = sv.solve(slp2)         # distinct input (tunnel caching)
-            dtt = time.perf_counter() - t0
-            assert r.status == TerminationStatus.SUCCESSFUL_TERMINATION, \
-                r.status
-            return r.iterations, dtt
-        its_s, t_s = _retry(run_sparse)
+        its_s, t_s = _retry(lambda: run_sparse_cfg(2048, 1024, 1024))
         out["cfg_sparse_8x2048"] = {"tto_ms": round(t_s * 1e3, 1),
                                     "iters": int(its_s)}
     except Exception as e:
         out["cfg_sparse_8x2048"] = {"error": str(e)[:120]}
+
+    # ---- out-of-densify-budget scale: 8 x 8192-row blocks (dense twin
+    # ~2 GB > the 256 MB default budget; the regime where the reference's
+    # PARDISO sparse leaves are mandatory, PardisoSchurSolver.C:84) ----
+    try:
+        its_s8, t_s8 = _retry(lambda: run_sparse_cfg(8192, 4096, 4096))
+        out["cfg_sparse_8x8192"] = {"tto_ms": round(t_s8 * 1e3, 1),
+                                    "iters": int(its_s8)}
+    except Exception as e:
+        out["cfg_sparse_8x8192"] = {"error": str(e)[:120]}
 
 
     nominal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

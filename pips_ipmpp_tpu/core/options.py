@@ -105,6 +105,16 @@ class Options:
     # "friedlander_orban" (decay 10x per step, grow 100x on failure),
     # "ipopt" (zero until failure, mu^0.25 dual, last/3 restart)
     regularization_strategy: str = "ladder"
+    # linear residual updates in the fused device loop: the Newton
+    # directions satisfy the eliminated KKT rows exactly by construction
+    # (formulation.recover_step), and every solve's residual rows are
+    # -res, so stepping scales primal rows by (1-alpha_p) and dual rows
+    # by (1-alpha_d) EXACTLY up to reduced-solve error.  k > 0 carries
+    # residuals and re-evaluates the matvecs only every k iterations
+    # (and whenever mu nears tolerance, so termination decisions always
+    # use exact residuals).  0 = evaluate every iteration (reference
+    # behavior, Residuals::evaluate per iteration).
+    residual_update_every: int = 0
     refinement_steps: int = 4              # max adaptive refinement sweeps
                                            # (early exit on small residual;
                                            # the exit threshold is relative,

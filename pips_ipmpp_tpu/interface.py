@@ -168,8 +168,8 @@ class PIPSIPMppTPUInterface:
                 SparseArrowBackend, sparse_leaf_tiles)
             fd = resolve_factor_dtype(self.options)
             self._solver = IPMSolver(
-                partial(SparseArrowBackend, factor_dtype=fd,
-                        tiles=sparse_leaf_tiles(lp)), self.options)
+                partial(SparseArrowBackend, factor_dtype=fd), self.options,
+                aux=dict(tiles=sparse_leaf_tiles(lp)))
         # hierarchical two-level Schur (reference switchToHierarchicalData,
         # PIPSIPMppInterface.cpp:81-89): transform last so every other
         # stage sees the flat layout
@@ -180,22 +180,27 @@ class PIPSIPMppTPUInterface:
             from pips_ipmpp_tpu.linalg.hier_backend import (
                 HierArrowBackend, build_hierarchical_lp)
             layers = self.options.hierarchical_layers
-            if layers not in (2, 3):
-                # no silent no-op (the reference recurses splitTree for
-                # HIERARCHICAL_APPROACH_N_LAYERS,
-                # DistributedTreeCallbacks.C:1123): 2- and 3-layer
-                # schemes are implemented; deeper nesting is not
-                raise NotImplementedError(
-                    f"hierarchical_layers={layers}: 2- and 3-layer "
-                    "hierarchical schemes are implemented")
+            if layers < 2:
+                raise ValueError(
+                    f"hierarchical_layers={layers}: must be >= 2")
             ng = self.options.hierarchical_num_groups or _auto_groups(lp.N)
-            # layers=3: coarse super-groups of fine groups; rows local to
-            # a coarse group are eliminated by a batched Schur stage at
-            # the top (HierMeta.n_coarse)
-            nc = _auto_groups(ng) if layers == 3 else 0
+            # depth is a PARAMETER (reference splitTree recursion for
+            # HIERARCHICAL_APPROACH_N_LAYERS, DistributedTreeCallbacks.C:
+            # 1123,1194-1217): layers = 2 + len(chain); each coarser
+            # level groups the previous one (divisor near its sqrt), and
+            # rows local to a level are eliminated by one batched Schur
+            # stage each at the top.  The chain stops early if grouping
+            # degenerates (one group contains everything).
+            chain = []
+            c = ng
+            for _ in range(layers - 2):
+                c = _auto_groups(c)
+                if c <= 1:
+                    break
+                chain.append(c)
             self._orig_link_dims = (lp.mEl, lp.mIl)
-            lp, self._hier_meta = build_hierarchical_lp(lp, ng,
-                                                        n_coarse=nc)
+            lp, self._hier_meta = build_hierarchical_lp(
+                lp, ng, coarse_levels=tuple(chain))
             fd = resolve_factor_dtype(self.options)
             self._solver = IPMSolver(
                 partial(HierArrowBackend, meta=self._hier_meta,

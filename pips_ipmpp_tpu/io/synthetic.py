@@ -118,7 +118,15 @@ def random_hier_arrowhead_lp(seed, N=8, n_groups=2, n=5, mE=2, mI=3,
             mask[g * gs:(g + 1) * gs] = False
             Gm[mask, r, :] = 0.0
 
-    # recompute feasible rhs/bounds at an interior point
+    return refit_feasible(base, F, Gm, rng, dtype)
+
+
+def refit_feasible(base, F, Gm, rng, dtype=jnp.float64):
+    """Rebuild rhs/bounds of `base` so the LP (with REPLACED linking
+    strips F/Gm) is feasible at a random interior point — used after
+    masking linking rows to craft locality structure."""
+    N, n = base.N, base.n
+    n0 = base.n0
     x0 = rng.normal(size=n0) * 0.3
     xi = rng.normal(size=(N, n)) * 0.3
     # block eqs must stay consistent: recompute bN as well

@@ -47,14 +47,18 @@ jax.tree_util.register_pytree_node(
     lambda _, c: FusedHistory(*c))
 
 
-def solve_on_device(be_ctor, opts: Options, lp):
+def solve_on_device(be_ctor, opts: Options, lp, aux=None):
     """Run the full solve on device. Returns (iterate, info dict of arrays).
 
     Traceable end-to-end: call under jit (or shard_map) with the LP pytree.
-    """
+    `aux`: extra backend-constructor operands passed as traced arguments
+    (see IPMSolver.aux)."""
     mu_tol, res_tol = opts.tolerances()
     max_it = opts.max_iterations
 
+    if aux:
+        orig_ctor = be_ctor
+        be_ctor = lambda l: orig_ctor(l, **aux)  # noqa: E731
     be = be_ctor(lp)
     it0, datanorm = _init_fn(be_ctor, opts, lp)
     res_scale = res_tol * jnp.maximum(datanorm, 1.0)
@@ -75,13 +79,35 @@ def solve_on_device(be_ctor, opts: Options, lp):
         return res, (F.mu(be, it), F.residual_norm(res, be.axis),
                      be.objective(it.x))
 
+    # linear residual updates (options.residual_update_every): carry the
+    # residual pytree and scale primal rows by (1-alpha_p) / dual rows by
+    # (1-alpha_d) after each step — exact for the eliminated rows by
+    # construction (recover_step identities; correctors solve with ZERO
+    # residual rows so weighted additions keep them homogeneous), and
+    # accurate to reduced-solve error for rL/rA/rC.  Exact re-evaluation
+    # happens every k steps and whenever mu nears tolerance, so the
+    # termination test always sees freshly evaluated residuals.
+    upd_every = max(int(opts.residual_update_every), 0)
+
     def cond(carry):
-        it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
+        (it, k, turns, rstate, attempt, status, best_mu, stall, hist,
+         res_c, since) = carry
         return (status == RUNNING) & (k < max_it)
 
     def body(carry):
-        it, k, turns, rstate, attempt, status, best_mu, stall, hist = carry
-        res_it, (mu_v, res_v, obj_v) = eval_all(it)
+        (it, k, turns, rstate, attempt, status, best_mu, stall, hist,
+         res_c, since) = carry
+        if upd_every == 0:
+            res_it, (mu_v, res_v, obj_v) = eval_all(it)
+            since2 = since
+        else:
+            mu_v = F.mu(be, it)
+            due = (since >= upd_every) | (mu_v <= 4.0 * mu_tol) | (k == 0)
+            res_it = jax.lax.cond(
+                due, lambda: F.compute_residuals(be, it), lambda: res_c)
+            since2 = jnp.where(due, 0, since)
+            res_v = F.residual_norm(res_it, be.axis)
+            obj_v = be.objective(it.x)
         # a retry turn re-evaluates the UNCHANGED iterate after a failed
         # factorization: it must not advance the stall detector
         is_retry = attempt > 0
@@ -160,15 +186,35 @@ def solve_on_device(be_ctor, opts: Options, lp):
                 stats.alpha_primal, mode="drop"),
             alpha_dual=hist.alpha_dual.at[row].set(
                 stats.alpha_dual, mode="drop"))
+        if upd_every == 0:
+            res_c2, since3 = res_c, since2
+        else:
+            fp = 1.0 - stats.alpha_primal
+            fd = 1.0 - stats.alpha_dual
+            scaled = F.Residuals(
+                rL=jax.tree.map(lambda a: a * fd, res_it.rL),
+                rA=jax.tree.map(lambda a: a * fp, res_it.rA),
+                rC=jax.tree.map(lambda a: a * fp, res_it.rC),
+                rz=jax.tree.map(lambda a: a * fd, res_it.rz),
+                rv=jax.tree.map(lambda a: a * fp, res_it.rv),
+                rw=jax.tree.map(lambda a: a * fp, res_it.rw),
+                rt=jax.tree.map(lambda a: a * fp, res_it.rt),
+                ru=jax.tree.map(lambda a: a * fp, res_it.ru))
+            res_c2 = jax.tree.map(
+                lambda a, b: jnp.where(stepped, a, b), scaled, res_it)
+            since3 = jnp.where(stepped, since2 + 1, since2)
         return (it2, k + stepped.astype(k.dtype), turns + 1, rstate2,
-                attempt2, new_status, best_mu, stall, hist)
+                attempt2, new_status, best_mu, stall, hist, res_c2,
+                since3)
 
+    res0 = F.compute_residuals(be, it0)
     init = (it0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             rstate0, jnp.zeros((), jnp.int32),
             jnp.asarray(RUNNING, jnp.int32),
             jnp.asarray(jnp.inf, datanorm.dtype),
-            jnp.zeros((), jnp.int32), hist0)
-    it, k, turns, rstate, _, status, _, _, hist = jax.lax.while_loop(
+            jnp.zeros((), jnp.int32), hist0, res0,
+            jnp.zeros((), jnp.int32))
+    (it, k, turns, rstate, _, status, _, _, hist, _, _) = jax.lax.while_loop(
         cond, body, init)
     dp, dd = strat.deltas(rstate)
     _, (mu_f, res_f, obj_f) = eval_all(it)

@@ -127,7 +127,8 @@ class IPMSolver:
     executable)."""
 
     def __init__(self, be_ctor: Callable, opts: Optional[Options] = None,
-                 troubles_hook: Optional[Callable] = None):
+                 troubles_hook: Optional[Callable] = None,
+                 aux: Optional[dict] = None):
         # f32 matmuls on TPU default to bf16 MXU passes, which destroys the
         # factorization accuracy the IPM needs (observed: stall at mu~1e-3).
         # Force true-f32 matmuls; no-op for f64/CPU.  Options can dial
@@ -142,14 +143,29 @@ class IPMSolver:
         # preconditioner, the reference's InteriorPointMethod.cpp:629-637)
         # and return a replacement constructor, triggering a re-jit
         self.troubles_hook = troubles_hook
+        # `aux`: large backend constructor operands (e.g. the sparse-leaf
+        # tile arrays, sparse_backend.sparse_leaf_tiles) threaded through
+        # jit as ARGUMENTS instead of closure constants — baked-in
+        # constants ship inside the serialized HLO and blow the remote
+        # compiler's request limit at scale (observed: HTTP 413 at
+        # 8x8192 with ~200 MB of tile constants).
+        self.aux = aux
         self._set_ctor(be_ctor)
 
     def _set_ctor(self, be_ctor: Callable):
         self.be_ctor = be_ctor
-        self._step = jax.jit(partial(_step_fn, be_ctor, self.opts))
-        self._eval = jax.jit(partial(_eval_fn, be_ctor))
-        self._init = jax.jit(partial(_init_fn, be_ctor, self.opts))
-        self._datanorm = jax.jit(lambda lp: be_ctor(lp).datanorm())
+
+        def _with_aux(fn, *pre):
+            def wrapped(lp, aux, *rest):
+                ctor = (lambda l: be_ctor(l, **aux)) if aux else be_ctor
+                return fn(ctor, *pre, lp, *rest)
+            return wrapped
+
+        self._step = jax.jit(_with_aux(_step_fn, self.opts))
+        self._eval = jax.jit(_with_aux(_eval_fn))
+        self._init = jax.jit(_with_aux(_init_fn, self.opts))
+        self._datanorm = jax.jit(
+            _with_aux(lambda ctor, lp: ctor(lp).datanorm()))
         if hasattr(self, "_fused"):
             del self._fused
 
@@ -184,9 +200,9 @@ class IPMSolver:
             it, k0, dp_c, dd_c, _ = load_checkpoint(checkpoint_path)
             rstate = (jnp.asarray(dp_c, rdt),
                       jnp.asarray(dd_c, rdt), rstate[2])
-            datanorm = float(self._datanorm(lp))
+            datanorm = float(self._datanorm(lp, self.aux))
         else:
-            it, datanorm = self._init(lp)
+            it, datanorm = self._init(lp, self.aux)
             datanorm = float(datanorm)
 
         history: list[IterationInfo] = []
@@ -200,7 +216,7 @@ class IPMSolver:
             # single host<->device roundtrip for all four scalars (per-scalar
             # float() costs one transfer each — expensive over remote links)
             mu_v, res_v, gap_v, obj_v = [
-                float(v) for v in jax.device_get(self._eval(lp, it))]
+                float(v) for v in jax.device_get(self._eval(lp, self.aux, it))]
 
             if opts.print_level >= 10:
                 print(f"iter {k:3d}  obj {obj_v: .8e}  mu {mu_v:.3e}  "
@@ -231,7 +247,7 @@ class IPMSolver:
 
             rstate = strat.new_step(rstate)
             dp, dd = (float(v) for v in strat.deltas(rstate))
-            new_it, stats = self._step(lp, it, dp, dd, k)
+            new_it, stats = self._step(lp, self.aux, it, dp, dd, k)
             stats_h = jax.device_get(stats)   # one transfer for all scalars
             ok = bool(stats_h.factor_ok)
             retries = 0
@@ -242,7 +258,7 @@ class IPMSolver:
                 if bool(strat.give_up(rstate)):
                     break
                 dp, dd = (float(v) for v in strat.deltas(rstate))
-                new_it, stats = self._step(lp, it, dp, dd, k)
+                new_it, stats = self._step(lp, self.aux, it, dp, dd, k)
                 stats_h = jax.device_get(stats)
                 ok = bool(stats_h.factor_ok)
                 retries += 1
@@ -250,7 +266,7 @@ class IPMSolver:
                 new_ctor = self.troubles_hook()
                 if new_ctor is not None:
                     self._set_ctor(new_ctor)
-                    new_it, stats = self._step(lp, it, dp, dd, k)
+                    new_it, stats = self._step(lp, self.aux, it, dp, dd, k)
                     stats_h = jax.device_get(stats)
                     ok = bool(stats_h.factor_ok)
             if not ok:
@@ -277,7 +293,7 @@ class IPMSolver:
         # final evaluation of the FINAL iterate: on the max-iterations
         # path the loop-top mu/residual belong to the pre-step iterate
         mu_v, res_v, _, obj_v = [
-            float(v) for v in jax.device_get(self._eval(lp, it))]
+            float(v) for v in jax.device_get(self._eval(lp, self.aux, it))]
         return SolveResult(status=status, iterate=it, iterations=n_steps,
                            objective=obj_v, mu=mu_v, residual_norm=res_v,
                            history=history)
@@ -297,7 +313,7 @@ class IPMSolver:
         if not hasattr(self, "_fused"):
             self._fused = jax.jit(
                 partial(solve_on_device, self.be_ctor, self.opts))
-        return self._fused(lp)
+        return self._fused(lp, self.aux)
 
     def solve_fused_batch_async(self, lps):
         """Run B independent same-shape LPs as ONE vmapped fused device
@@ -314,8 +330,9 @@ class IPMSolver:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *lps)
         if not hasattr(self, "_fused_batch"):
             self._fused_batch = jax.jit(jax.vmap(
-                partial(solve_on_device, self.be_ctor, self.opts)))
-        return self._fused_batch(stacked)
+                partial(solve_on_device, self.be_ctor, self.opts),
+                in_axes=(0, None)))
+        return self._fused_batch(stacked, self.aux)
 
     def solve_fused(self, lp) -> SolveResult:
         """Fully on-device solve (lax.while_loop outer loop, one compile,

@@ -58,18 +58,35 @@ class HierMeta:
     mElL: int                # padded local eq link rows per group
     mIlL: int
     mElG: int                # EFFECTIVE global eq link rows (includes the
-    mIlG: int                # coarse section when n_coarse > 0)
+    mIlG: int                # coarse sections when levels is non-empty)
     permE: np.ndarray        # new eq-link layout -> old row index (-1 = pad)
     permI: np.ndarray
-    # ---- third layer (hierarchical_layers=3): rows local to a COARSE
-    # group of fine groups sit at the FRONT of the "global" section,
-    # padded to uniform (mEl2, mIl2) per coarse group, and are
-    # eliminated by a batched per-coarse-group Cholesky at the top
-    # (the reference's recursive splitTree, DistributedTreeCallbacks.C:
-    # 1123).  n_coarse == 0 -> plain 2-layer scheme.
-    n_coarse: int = 0
-    mEl2: int = 0            # padded coarse-local eq rows per coarse group
-    mIl2: int = 0
+    # ---- deeper layers (hierarchical_layers = 2 + len(levels)): rows
+    # local to a level-l coarse group (but not to any finer level) sit in
+    # per-level sections at the FRONT of the "global" part, padded to
+    # uniform width per group, and are eliminated by one batched
+    # per-group Cholesky per level before the dense top factorization.
+    # Nesting keeps every level's block exactly block-diagonal even
+    # after the finer levels' Schur downdates (a finer group lies inside
+    # exactly one coarser group), which is what makes the depth a free
+    # parameter — the analogue of the reference's recursive splitTree
+    # (DistributedTreeCallbacks.C:1123, 1194-1217).
+    # levels = ((C, mEl_c, mIl_c), ...) ordered finest -> coarsest;
+    # () -> plain 2-layer scheme.
+    levels: tuple = ()
+
+    # backward-compatible single-coarse-level accessors (layers == 3)
+    @property
+    def n_coarse(self) -> int:
+        return self.levels[0][0] if self.levels else 0
+
+    @property
+    def mEl2(self) -> int:
+        return self.levels[0][1] if self.levels else 0
+
+    @property
+    def mIl2(self) -> int:
+        return self.levels[0][2] if self.levels else 0
 
 
 def analyze_link_locality(F: np.ndarray, n_groups: int) -> np.ndarray:
@@ -91,58 +108,68 @@ def analyze_link_locality(F: np.ndarray, n_groups: int) -> np.ndarray:
 
 
 def build_hierarchical_lp(lp: ArrowheadLP, n_groups: int,
-                          n_coarse: int = 0
+                          n_coarse: int = 0,
+                          coarse_levels: tuple = ()
                           ) -> tuple[ArrowheadLP, HierMeta]:
     """Permute+pad linking rows into hierarchical layout.
 
-    `n_coarse > 0` adds a THIRD layer: rows whose support exceeds one
-    fine group but fits one coarse group (of n_groups/n_coarse fine
-    groups) are placed at the front of the global section, padded per
-    coarse group, and eliminated by a batched coarse Schur stage before
-    the dense top factorization."""
+    `coarse_levels = (C2, C3, ...)` (finest -> coarsest, each dividing
+    the previous; `n_coarse` is the single-level shorthand) adds one
+    layer per entry: rows whose support exceeds every finer grouping
+    but fits one level-l group are placed in that level's section of
+    the global part, padded per group, and eliminated by a batched
+    per-group Schur stage before the dense top factorization
+    (hierarchical_layers = 2 + len(coarse_levels); reference splitTree
+    recursion, DistributedTreeCallbacks.C:1123,1194-1217)."""
     if lp.N % n_groups != 0:
         raise ValueError(f"N={lp.N} not divisible by n_groups={n_groups}")
-    if n_coarse and n_groups % n_coarse != 0:
-        raise ValueError(f"n_groups={n_groups} not divisible by "
-                         f"n_coarse={n_coarse}")
+    if n_coarse:
+        coarse_levels = (n_coarse,) + tuple(coarse_levels)
+    prev = n_groups
+    for C in coarse_levels:
+        if C <= 0 or prev % C != 0:
+            raise ValueError(f"coarse level sizes {coarse_levels} must "
+                             f"divide the previous level ({prev} % {C})")
+        prev = C
     Fn = np.asarray(lp.F)
     Gn = np.asarray(lp.G)
     ownE = analyze_link_locality(Fn, n_groups) if lp.mEl else np.zeros(0, int)
     ownI = analyze_link_locality(Gn, n_groups) if lp.mIl else np.zeros(0, int)
-    if n_coarse:
-        ownE2 = (analyze_link_locality(Fn, n_coarse) if lp.mEl
-                 else np.zeros(0, int))
-        ownI2 = (analyze_link_locality(Gn, n_coarse) if lp.mIl
-                 else np.zeros(0, int))
-    else:
-        ownE2 = np.full_like(ownE, -1)
-        ownI2 = np.full_like(ownI, -1)
+    ownsE = [analyze_link_locality(Fn, C) if lp.mEl else np.zeros(0, int)
+             for C in coarse_levels]
+    ownsI = [analyze_link_locality(Gn, C) if lp.mIl else np.zeros(0, int)
+             for C in coarse_levels]
 
-    def layout(owner, owner2):
+    def layout(owner, owners_lvl):
         locs = [np.nonzero(owner == g)[0] for g in range(n_groups)]
-        rest = owner == -1
-        # coarse-local among the rest; truly global otherwise
-        coarse = [np.nonzero(rest & (owner2 == c))[0]
-                  for c in range(n_coarse)]
-        glob = np.nonzero(rest & (owner2 == -1))[0]
         mL = max((len(l) for l in locs), default=0)
-        mL2 = max((len(c) for c in coarse), default=0)
         perm = []
         for g in range(n_groups):
             perm += list(locs[g]) + [-1] * (mL - len(locs[g]))
-        for c in range(n_coarse):
-            perm += list(coarse[c]) + [-1] * (mL2 - len(coarse[c]))
+        assigned = owner != -1
+        widths = []
+        glob_cnt = 0
+        for C, own_l in zip(coarse_levels, owners_lvl):
+            rows_l = [np.nonzero(~assigned & (own_l == c))[0]
+                      for c in range(C)]
+            mL2 = max((len(r) for r in rows_l), default=0)
+            for c in range(C):
+                perm += list(rows_l[c]) + [-1] * (mL2 - len(rows_l[c]))
+                assigned[rows_l[c]] = True
+            widths.append(mL2)
+        glob = np.nonzero(~assigned)[0]
+        glob_cnt = len(glob)
         perm += list(glob)
-        # mG = EFFECTIVE global count (coarse section + true globals)
-        return (np.asarray(perm, np.int64), mL,
-                n_coarse * mL2 + len(glob), mL2)
+        mG = sum(C * w for C, w in zip(coarse_levels, widths)) + glob_cnt
+        return np.asarray(perm, np.int64), mL, mG, widths
 
-    permE, mElL, mElG, mEl2 = layout(ownE, ownE2)
-    permI, mIlL, mIlG, mIl2 = layout(ownI, ownI2)
+    permE, mElL, mElG, widthsE = layout(ownE, ownsE)
+    permI, mIlL, mIlG, widthsI = layout(ownI, ownsI)
+    levels = tuple((C, wE, wI) for C, wE, wI
+                   in zip(coarse_levels, widthsE, widthsI))
     meta = HierMeta(n_groups=n_groups, group_size=lp.N // n_groups,
                     mElL=mElL, mIlL=mIlL, mElG=mElG, mIlG=mIlG,
-                    permE=permE, permI=permI,
-                    n_coarse=n_coarse, mEl2=mEl2, mIl2=mIl2)
+                    permE=permE, permI=permI, levels=levels)
 
     def pick(arr, perm, pad_value, axis):
         arr = np.asarray(arr)
@@ -218,10 +245,11 @@ class HierFactors:
     leaf_ok: jax.Array = True
     Wd: jax.Array = ()     # dist_root: Sdual^{-1}[:, own cols]
     root_ok: jax.Array = True
-    # ---- third layer (n_coarse > 0): batched coarse-Schur factors ----
-    L2: jax.Array = ()     # [C, k2, k2] Cholesky of -(coarse dual block)
-    U1: jax.Array = ()     # [C, n0, k2]    S12[:, coarse_c]
-    U2: jax.Array = ()     # [C, nrest, k2] S22[rest, coarse_c]
+    # ---- deeper layers (meta.levels): one batched coarse-Schur factor
+    # per level, finest -> coarsest (tuples of arrays) ----
+    L2: tuple = ()         # ([C, k2, k2] Cholesky of -(coarse dual block),)
+    U1: tuple = ()         # ([C, n0, k2]    S12[:, coarse_c],)
+    U2: tuple = ()         # ([C, nrest, k2] S22[rest, coarse_c],)
 
 
 class HierArrowBackend(ArrowBackend):
@@ -257,42 +285,54 @@ class HierArrowBackend(ArrowBackend):
                 f"n_shards={self.n_shards}: groups must not straddle devices")
         self.G_loc = meta.n_groups // self.n_shards
 
-        # ---- third-layer (coarse) static index maps over the dual
-        # vector [m0E | m0I | ylG_eff | zlG_eff]: coarse rows of group c
-        # = eq rows [c*mEl2, (c+1)*mEl2) of the ylG section + ineq rows
-        # [c*mIl2, (c+1)*mIl2) of the zlG section ----
-        if meta.n_coarse:
-            if dist_root:
-                raise ValueError("hierarchical_layers=3 is not yet "
-                                 "composable with dist_root")
+        # ---- per-level static index maps over the dual vector
+        # [m0E | m0I | ylG_eff | zlG_eff]: level-l rows of group c sit at
+        # the level's section offsets within the ylG / zlG parts.  Each
+        # stage's indices are POSITIONS WITHIN THE SPACE REMAINING after
+        # the finer stages were eliminated; computed once here ----
+        self._lvl = []
+        if meta.levels:
             m0E, m0I = lp.m0E, lp.m0I
+            nD = m0E + m0I + meta.mElG + meta.mIlG
             base_e = m0E + m0I
             base_i = m0E + m0I + meta.mElG
-            C2, mE2, mI2 = meta.n_coarse, meta.mEl2, meta.mIl2
-            idxc = np.concatenate([
-                np.stack([np.arange(base_e + c * mE2,
-                                    base_e + (c + 1) * mE2)
-                          for c in range(C2)]),
-                np.stack([np.arange(base_i + c * mI2,
-                                    base_i + (c + 1) * mI2)
-                          for c in range(C2)])], axis=1)   # [C2, mE2+mI2]
-            nD = m0E + m0I + meta.mElG + meta.mIlG
-            rest_mask = np.ones(nD, bool)
-            rest_mask[idxc.reshape(-1)] = False
-            self._idx_coarse = jnp.asarray(idxc)
-            self._idx_rest = jnp.asarray(np.nonzero(rest_mask)[0])
-            # unit-diagonal protection for PADDED coarse eq rows (zero
-            # rows; delta_d = 0 under the Ipopt strategy would give a
-            # zero pivot) — same rule as the fine-level padE
-            G = meta.n_groups
-            padE2 = (meta.permE[G * meta.mElL:
-                                G * meta.mElL + C2 * mE2] < 0
-                     ).reshape(C2, mE2)
-            padI2 = (meta.permI[G * meta.mIlL:
-                                G * meta.mIlL + C2 * mI2] < 0
-                     ).reshape(C2, mI2)
-            self._pad_coarse = jnp.asarray(
-                np.concatenate([padE2, padI2], axis=1).astype(np.float64))
+            cur = np.arange(nD)                 # original ids, current space
+            off_e = off_i = 0
+            pe_off = meta.n_groups * meta.mElL
+            pi_off = meta.n_groups * meta.mIlL
+            for (C2, mE2, mI2) in meta.levels:
+                ids = np.concatenate([
+                    np.stack([np.arange(base_e + off_e + c * mE2,
+                                        base_e + off_e + (c + 1) * mE2)
+                              for c in range(C2)]),
+                    np.stack([np.arange(base_i + off_i + c * mI2,
+                                        base_i + off_i + (c + 1) * mI2)
+                              for c in range(C2)])], axis=1)  # [C2, k2]
+                pos_map = np.full(nD, -1, np.int64)
+                pos_map[cur] = np.arange(cur.size)
+                idxc_pos = pos_map[ids]
+                assert (idxc_pos >= 0).all()
+                rest_mask = np.ones(cur.size, bool)
+                rest_mask[idxc_pos.reshape(-1)] = False
+                idxr_pos = np.nonzero(rest_mask)[0]
+                # unit-diagonal protection for PADDED level eq rows (zero
+                # rows; delta_d = 0 under the Ipopt strategy would give a
+                # zero pivot) — same rule as the fine-level padE
+                padE2 = (meta.permE[pe_off:pe_off + C2 * mE2] < 0
+                         ).reshape(C2, mE2)
+                padI2 = (meta.permI[pi_off:pi_off + C2 * mI2] < 0
+                         ).reshape(C2, mI2)
+                pad = np.concatenate([padE2, padI2], axis=1)
+                self._lvl.append((jnp.asarray(idxc_pos),
+                                  jnp.asarray(idxr_pos),
+                                  jnp.asarray(pad.astype(np.float64)),
+                                  int(cur.size)))
+                cur = cur[rest_mask]
+                off_e += C2 * mE2
+                off_i += C2 * mI2
+                pe_off += C2 * mE2
+                pi_off += C2 * mI2
+            self._nD_final = int(cur.size)
 
     def _dev(self):
         """Device index along the mesh axis (0 when undistributed)."""
@@ -476,33 +516,41 @@ class HierArrowBackend(ArrowBackend):
 
         extra = {}
         coarse_ok = jnp.asarray(True)
-        if m.n_coarse:
-            # ---- third layer: eliminate the coarse-local rows of the
-            # top dual block BEFORE the dense factorization.  Their
-            # cross-coarse-group Schur entries are exactly zero (disjoint
-            # block support), so the block is [C2, k2, k2] block-diagonal
-            # and one batched Cholesky replaces their share of the dense
-            # root cube (the reference's recursive splitTree layer,
-            # DistributedTreeCallbacks.C:1123). ----
+        if self._lvl:
+            # ---- deeper layers: eliminate each level's coarse-local
+            # rows of the top dual block BEFORE the dense factorization,
+            # finest level first.  Cross-group Schur entries within a
+            # level are exactly zero — disjoint block support, preserved
+            # under the finer levels' downdates because a finer group
+            # lies inside exactly one coarser group — so each level is
+            # one [C, k2, k2] batched Cholesky instead of its share of
+            # the dense root cube (the reference's recursive splitTree,
+            # DistributedTreeCallbacks.C:1123,1194-1217). ----
             S11f = S11.astype(fd)
             S12f = S12.astype(fd)
             S22f = S22.astype(fd)
-            idxc, idxr = self._idx_coarse, self._idx_rest
-            Scc = S22f[idxc[:, :, None], idxc[:, None, :]]   # [C2, k2, k2]
-            negS2 = -Scc + jax.vmap(jnp.diag)(self._pad_coarse.astype(fd))
-            L2 = jnp.linalg.cholesky(negS2)
-            U1 = jnp.swapaxes(S12f[:, idxc], 0, 1)           # [C2, n0, k2]
-            U2 = jnp.swapaxes(S22f[idxr][:, idxc], 0, 1)     # [C2, nr, k2]
-            W1 = _bchol_solve(L2, jnp.swapaxes(U1, 1, 2))    # [C2, k2, n0]
-            W2 = _bchol_solve(L2, jnp.swapaxes(U2, 1, 2))    # [C2, k2, nr]
-            # Schur downdate onto the remaining (x0, m0, global) system:
-            # Scc is negative definite, so the downdate ADDS the PSD
-            # U negS2^{-1} U' terms (see _root_solve for the solve side)
-            S11 = S11f + jnp.einsum("cnk,ckm->nm", U1, W1)
-            S12 = S12f[:, idxr] + jnp.einsum("cnk,ckr->nr", U1, W2)
-            S22 = S22f[idxr][:, idxr] + jnp.einsum("crk,cks->rs", U2, W2)
-            coarse_ok = jnp.all(jnp.isfinite(L2))
-            extra = dict(L2=L2, U1=U1.astype(dt), U2=U2.astype(dt))
+            L2s, U1s, U2s = [], [], []
+            for (idxc, idxr, pad, _sz) in self._lvl:
+                Scc = S22f[idxc[:, :, None], idxc[:, None, :]]  # [C,k2,k2]
+                negS2 = -Scc + jax.vmap(jnp.diag)(pad.astype(fd))
+                L2 = jnp.linalg.cholesky(negS2)
+                U1 = jnp.swapaxes(S12f[:, idxc], 0, 1)        # [C, n0, k2]
+                U2 = jnp.swapaxes(S22f[idxr][:, idxc], 0, 1)  # [C, nr, k2]
+                W1 = _bchol_solve(L2, jnp.swapaxes(U1, 1, 2))
+                W2 = _bchol_solve(L2, jnp.swapaxes(U2, 1, 2))
+                # Scc is negative definite, so the downdate ADDS the PSD
+                # U negS2^{-1} U' terms (see _root_solve)
+                S11f = S11f + jnp.einsum("cnk,ckm->nm", U1, W1)
+                S12f = S12f[:, idxr] + jnp.einsum("cnk,ckr->nr", U1, W2)
+                S22f = S22f[idxr][:, idxr] + jnp.einsum("crk,cks->rs",
+                                                        U2, W2)
+                coarse_ok = coarse_ok & jnp.all(jnp.isfinite(L2))
+                L2s.append(L2)
+                U1s.append(U1.astype(dt))
+                U2s.append(U2.astype(dt))
+            S11, S12, S22 = S11f, S12f, S22f
+            nD = self._nD_final
+            extra = dict(L2=tuple(L2s), U1=tuple(U1s), U2=tuple(U2s))
 
         chol1 = jnp.linalg.cholesky(S11.astype(fd))
         if self.dist_root:
@@ -533,7 +581,8 @@ class HierArrowBackend(ArrowBackend):
                 delta_p=jnp.asarray(delta_p),
                 delta_d=jnp.asarray(delta_d, dt),
                 Ninv=Ninv, leaf_ok=leaf_ok, Wd=Wd,
-                root_ok=root_ok & jnp.all(jnp.isfinite(chol1)))
+                root_ok=(root_ok & coarse_ok
+                         & jnp.all(jnp.isfinite(chol1))), **extra)
         T = _spd_solve(chol1, S12.astype(fd))
         Sdual = -(S22.astype(fd) - S12.astype(fd).T @ T)
         chol2 = jnp.linalg.cholesky(Sdual)
@@ -548,31 +597,39 @@ class HierArrowBackend(ArrowBackend):
             Ninv=Ninv, leaf_ok=leaf_ok, root_ok=coarse_ok, **extra)
 
     def _root_solve(self, fac, p, q):
-        """Top solve; with the third layer, eliminate the coarse rows
-        first, solve the reduced dense system (parent path), then
-        back-substitute:  dc = -negS2^{-1}(qc - U1' a - U2' dr)."""
-        m = self.meta
-        if not m.n_coarse or getattr(fac.L2, "ndim", 0) != 3:
+        """Top solve; with deeper layers, eliminate each level's coarse
+        rows (finest first), solve the reduced dense system (parent
+        path), then back-substitute level by level in reverse:
+        dc = -negS2^{-1}(qc - U1' a - U2' dr)."""
+        if not self._lvl or not len(fac.L2):
             return super()._root_solve(fac, p, q)
         fd = self.factor_dtype
         dt = q.dtype
-        idxc, idxr = self._idx_coarse, self._idx_rest
-        U1 = fac.U1.astype(fd)
-        U2 = fac.U2.astype(fd)
-        qc = q[idxc].astype(fd)                            # [C2, k2]
-        t = _bchol_solve(fac.L2, qc[..., None])[..., 0]    # negS2^{-1} qc
-        p2 = (p.astype(fd)
-              + jnp.einsum("cnk,ck->n", U1, t)).astype(dt)
-        qr2 = (q[idxr].astype(fd)
-               + jnp.einsum("crk,ck->r", U2, t)).astype(dt)
-        a, dr = super()._root_solve(fac, p2, qr2)
-        rhs = (qc - jnp.einsum("cnk,n->ck", U1, a.astype(fd))
-               - jnp.einsum("crk,r->ck", U2, dr.astype(fd)))
-        dc = -_bchol_solve(fac.L2, rhs[..., None])[..., 0]
-        d = jnp.zeros(q.shape, dt)
-        d = d.at[idxr].set(dr)
-        d = d.at[idxc.reshape(-1)].set(dc.reshape(-1).astype(dt))
-        return a, d
+        stages = list(zip(self._lvl, fac.L2, fac.U1, fac.U2))
+        qcs = []
+        p_cur = p.astype(fd)
+        q_cur = q.astype(fd)
+        for (idxc, idxr, _pad, _sz), L2, U1, U2 in stages:
+            U1f, U2f = U1.astype(fd), U2.astype(fd)
+            qc = q_cur[idxc]                               # [C, k2]
+            t = _bchol_solve(L2, qc[..., None])[..., 0]    # negS2^{-1} qc
+            p_cur = p_cur + jnp.einsum("cnk,ck->n", U1f, t)
+            q_cur = q_cur[idxr] + jnp.einsum("crk,ck->r", U2f, t)
+            qcs.append(qc)
+        a, d = super()._root_solve(fac, p_cur.astype(dt), q_cur.astype(dt))
+        af = a.astype(fd)
+        d = d.astype(fd)
+        for ((idxc, idxr, _pad, sz), L2, U1, U2), qc in zip(
+                reversed(stages), reversed(qcs)):
+            U1f, U2f = U1.astype(fd), U2.astype(fd)
+            rhs = (qc - jnp.einsum("cnk,n->ck", U1f, af)
+                   - jnp.einsum("crk,r->ck", U2f, d))
+            dc = -_bchol_solve(L2, rhs[..., None])[..., 0]
+            full = jnp.zeros((sz,), fd)
+            full = full.at[idxr].set(d)
+            full = full.at[idxc.reshape(-1)].set(dc.reshape(-1))
+            d = full
+        return a, d.astype(dt)
 
     def factorization_ok(self, fac: HierFactors) -> jax.Array:
         ok = (fac.leaf_ok & fac.root_ok

@@ -48,13 +48,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
     lib.pips_native_abi_version.restype = ctypes.c_int32
-    if lib.pips_native_abi_version() != 1:
-        return None
+    if lib.pips_native_abi_version() != 2:
+        # stale binary from an older checkout: rebuild once and reload
+        # (unlink first so the relink cannot truncate the mapped image)
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            pass
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pips_native_abi_version.restype = ctypes.c_int32
+        if lib.pips_native_abi_version() != 2:
+            return None
 
     lib.row_support_stats.argtypes = [p_f64, i64, i64, f64, p_i32, p_i64,
                                       p_f64]
     lib.drop_tiny_entries.restype = i64
     lib.drop_tiny_entries.argtypes = [p_f64, i64, i64, f64, f64]
+    lib.drop_tiny_impact.restype = i64
+    lib.drop_tiny_impact.argtypes = [p_f64, i64, i64, i64, p_f64, i64,
+                                     f64, f64, f64]
     lib.detect_parallel_rows.restype = i64
     lib.detect_parallel_rows.argtypes = [p_f64, i64, i64, f64, p_i64, p_i64,
                                          p_f64, i64]
@@ -134,6 +148,30 @@ def drop_tiny_entries(M: np.ndarray, abs_tol: float, rel_tol: float) -> int:
         return int(mask.sum())
     return int(lib.drop_tiny_entries(M.reshape(rows, cols), rows, cols,
                                      abs_tol, rel_tol))
+
+
+def drop_tiny_impact(M: np.ndarray, col_range: np.ndarray, feastol: float,
+                     abs_tol: float, rel_tol: float) -> Optional[int]:
+    """In-place impact-aware tiny-entry drop over M [rows, cols],
+    [batch, rows, cols] (col_range [cols] shared) or [batch, rows, cols]
+    with col_range [batch, cols].  Returns dropped count, or None when
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None or M.size == 0:
+        return None if lib is None else 0
+    assert M.dtype == np.float64 and M.flags.c_contiguous
+    cr = np.ascontiguousarray(col_range, np.float64)
+    if M.ndim == 2:
+        batch, rows, cols = 1, M.shape[0], M.shape[1]
+        rb = 0
+    else:
+        batch, rows, cols = M.shape
+        rb = 1 if cr.ndim == 2 else 0
+    if cr.shape[-1] != cols:
+        return None
+    return int(lib.drop_tiny_impact(M.reshape(batch * rows, cols),
+                                    batch, rows, cols, cr.reshape(-1),
+                                    rb, feastol, abs_tol, rel_tol))
 
 
 def detect_parallel_rows(M: np.ndarray, tol: float = 1e-12):

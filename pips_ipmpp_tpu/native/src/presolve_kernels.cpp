@@ -165,6 +165,46 @@ void row_activity_bounds(const double* M, int64_t rows, int64_t cols,
   }
 }
 
-int32_t pips_native_abi_version() { return 1; }
+// Impact-aware tiny-entry removal (one fused pass; the python
+// formulation made ~6 full passes over each [N, m, n] block array,
+// ~30 s at the 102k-var energy instance).  Zeroes entries that are
+// (a) tiny in absolute or row-relative terms AND (b) of negligible
+// impact |a| * bound_range(col) < feastol — a tiny coefficient on an
+// unbounded variable must stay (reference MODEL_CLEANUP impact rule).
+// `range` is [cols] shared across the batch (range_batched == 0) or
+// [batch, cols] per-batch.  Non-finite ranges never drop.
+int64_t drop_tiny_impact(double* M, int64_t batch, int64_t rows,
+                         int64_t cols, const double* range,
+                         int64_t range_batched, double feastol,
+                         double abs_tol, double rel_tol) {
+  int64_t dropped = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : dropped) schedule(static)
+#endif
+  for (int64_t br = 0; br < batch * rows; ++br) {
+    const int64_t b = br / rows;
+    const double* cr = range + (range_batched ? b * cols : 0);
+    double* row = M + br * cols;
+    double mx = 0.0;
+    for (int64_t c = 0; c < cols; ++c) {
+      double a = std::fabs(row[c]);
+      if (a > mx) mx = a;
+    }
+    const double thr = std::fmax(abs_tol, rel_tol * mx);
+    for (int64_t c = 0; c < cols; ++c) {
+      double a = std::fabs(row[c]);
+      if (a > 0.0 && a < thr) {
+        double rg = cr[c];
+        if (std::isfinite(rg) && a * rg < feastol) {
+          row[c] = 0.0;
+          ++dropped;
+        }
+      }
+    }
+  }
+  return dropped;
+}
+
+int32_t pips_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -113,11 +113,20 @@ def _drop_tiny(M, col_range=None) -> int:
     PRESOLVE_MODEL_CLEANUP_MATRIX_ENTRY_IMPACT_FEASDIST rule)."""
     if M.size == 0:
         return 0
+    from pips_ipmpp_tpu import native
     if col_range is None:
-        from pips_ipmpp_tpu import native
         if M.dtype == np.float64 and M.flags.c_contiguous:
             return native.drop_tiny_entries(M, TINY_ABS, TINY_REL)
         col_range = np.zeros(M.shape[-1])
+    elif M.dtype == np.float64 and M.flags.c_contiguous \
+            and col_range.shape[-1] == M.shape[-1]:
+        # fused one-pass native kernel (the numpy formulation below makes
+        # ~6 full passes over each [N, m, n] block array — ~30 s at the
+        # 102k-var energy instance, the round-4 presolve bottleneck)
+        dropped = native.drop_tiny_impact(M, col_range, FEASTOL,
+                                          TINY_ABS, TINY_REL)
+        if dropped is not None:
+            return dropped
     # col_range broadcasts along the row axis: [n] against [m, n] or
     # [N, 1, n] (via expand_dims) against batched [N, m, n]
     cr = np.expand_dims(col_range, -2) if col_range.ndim == M.ndim - 1 \
@@ -423,36 +432,52 @@ def nearly_parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
 
     n = 0
     for scope, b, _ in V.eq_scopes(pd):
-        # flat-column singleton mask for this scope
-        if scope.kind == "first":
-            smask = single0[None, :]
-        elif scope.kind == "block":
-            smask = np.concatenate(
-                [np.broadcast_to(single0, (pd.N, n0v)), singleN],
-                axis=1)[:, None, :]
-        else:
-            smask = np.concatenate([single0, singleN.reshape(-1)])[None, :]
-        S = (scope.K != 0) & smask                 # singleton entries
-        n_single = S.sum(-1)
-        stripped = np.where(S, 0.0, scope.K)
-        eligible = (scope.active & (n_single <= 1)
-                    & (np.count_nonzero(stripped, -1) >= 1))
-
+        # flat-column singleton mask for this scope.  For the batched
+        # block scope, eligibility is computed PART-WISE (A and B
+        # separately) so the [N, m, n0+n] concatenation, its singleton
+        # mask, and the stripped copy are never materialized — only the
+        # few eligible rows of the few eligible blocks are built densely
+        # (that concatenation was ~10 s at the 102k-var energy instance).
         groups = []
         if scope.kind == "block":
-            for i in range(scope.K.shape[0]):
+            nsA = ((pd.A != 0) & single0[None, None, :]).sum(-1)
+            nsB = ((pd.B != 0) & singleN[:, None, :]).sum(-1)
+            n_single = nsA + nsB
+            row_nnz = scope.row_nnz()
+            eligible = (scope.active & (n_single <= 1)
+                        & (row_nnz - n_single >= 1))
+            smask_blocks = np.concatenate(
+                [np.broadcast_to(single0, (pd.N, n0v)), singleN], axis=1)
+            for i in np.nonzero(eligible.any(axis=1))[0]:
                 rows = np.nonzero(eligible[i])[0]
-                if rows.size >= 2:
-                    groups.append((stripped[i][rows], S[i], i,
-                                   [(int(i), int(r)) for r in rows]))
+                if rows.size < 2:
+                    continue
+                sub = np.concatenate([pd.A[i][rows], pd.B[i][rows]],
+                                     axis=1)
+                Ssub = (sub != 0) & smask_blocks[i][None, :]
+                stripped_sub = np.where(Ssub, 0.0, sub)
+                pos = {int(r): p for p, r in enumerate(rows)}
+                groups.append((stripped_sub, Ssub, pos, int(i),
+                               [(int(i), int(r)) for r in rows]))
         else:
+            if scope.kind == "first":
+                smask = single0[None, :]
+            else:
+                smask = np.concatenate([single0,
+                                        singleN.reshape(-1)])[None, :]
+            S = (scope.K != 0) & smask             # singleton entries
+            n_single = S.sum(-1)
+            stripped = np.where(S, 0.0, scope.K)
+            eligible = (scope.active & (n_single <= 1)
+                        & (np.count_nonzero(stripped, -1) >= 1))
             blk = FIRST if scope.kind == "first" else LINK
             rows = np.nonzero(eligible)[0]
             if rows.size >= 2:
-                groups.append((stripped[rows], S, 0,
+                pos = {int(r): p for p, r in enumerate(rows)}
+                groups.append((stripped[rows], S[rows], pos, 0,
                                [(blk, int(r)) for r in rows]))
 
-        for M, Sm, i_blk, addr in groups:
+        for M, Sm, pos, i_blk, addr in groups:
             done_rows = set()
             for ki, di, k in _detect_parallel(M, tol):
                 kept, cand = addr[int(ki)], addr[int(di)]
@@ -460,12 +485,12 @@ def nearly_parallel_rows(pd: PresolveData, tol: float = 1e-12) -> int:
                     continue
                 k = float(k)
                 # locate each row's singleton entry (if any) in pd coords.
-                # Sm is always [m, k] for this group; addr[1] is the row
-                # index within it for every scope kind.
+                # Sm rows are the SELECTED rows only; `pos` maps the pd
+                # row index back to its position within the group.
                 def singleton_of(a_addr):
                     ixr = (a_addr[1],) if a_addr[0] in (FIRST, LINK) \
                         else (a_addr[0], a_addr[1])
-                    row_s = Sm[a_addr[1]]
+                    row_s = Sm[pos[int(a_addr[1])]]
                     js = np.nonzero(row_s)[0]
                     if js.size == 0:
                         return None

@@ -75,3 +75,21 @@ def test_solve_fused_batch_matches_singles():
         assert int(sts[i]) == 1
         assert abs(float(objs[i]) - s.objective) < 1e-8
         assert int(its[i]) == s.iterations
+
+
+def test_fused_linear_residual_updates_match_exact():
+    """residual_update_every=k carries residuals between exact
+    evaluations (primal rows scale by 1-alpha_p, dual rows by
+    1-alpha_d — exact identities of recover_step).  In f64 the carried
+    path must reproduce the exact path's solution and iteration count."""
+    from pips_ipmpp_tpu.io.synthetic import random_arrowhead_lp
+
+    for seed in (0, 3):
+        lp = random_arrowhead_lp(seed, N=4, n=24, mE=10, mI=12, n0=6,
+                                 m0E=3, m0I=3, mEl=3, mIl=3)
+        exact = IPMSolver(ArrowBackend, Options()).solve_fused(lp)
+        carried = IPMSolver(ArrowBackend, Options(
+            residual_update_every=4)).solve_fused(lp)
+        assert carried.status == TerminationStatus.SUCCESSFUL_TERMINATION
+        assert abs(float(carried.objective) - float(exact.objective)) < 1e-7
+        assert abs(carried.iterations - exact.iterations) <= 1

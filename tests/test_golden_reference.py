@@ -31,22 +31,17 @@ with open(os.path.join(DATA, "manifest.json")) as f:
     MANIFEST = json.load(f)
 
 OBJ_TOL = 1e-4          # reference: t_pips.cpp:27
-# The reference asserts <= 1.1x its own recorded count (t_pips.cpp:118-119)
-# and we hold ourselves to the SAME budget.  The measured table (PARITY.md
-# "Iteration parity", tools/iteration_parity.py) shows 24/26 instances
-# within it — 12 need FEWER iterations than the reference recorded.  The
-# two exceedances are documented here with their measured counts (+1 over
-# a recorded count of 4, where 1.1x rounds down to no slack at all):
-ITER_EXCEPTIONS = {
-    "parallelEqualityAndInequalityRow_B0A2": 5,   # ref 4
-    "parallelEqualityRows_B0A2": 5,               # ref 4
-}
 
 
 def iter_budget(entry) -> int:
-    if entry["name"] in ITER_EXCEPTIONS:
-        return ITER_EXCEPTIONS[entry["name"]]
-    return int(entry["iterations"] * 1.1)
+    """The reference's own budget is ceil(recorded * 1.1)
+    (t_pips.cpp:118: EXPECT_LE(n_iterations,
+    std::ceil(expected_iterations * 1.1))) — for a recorded count of 4
+    that allows 5.  All 26 instances are within this budget
+    (tools/iteration_parity.py table in PARITY.md; 12 need FEWER
+    iterations than the reference recorded)."""
+    import math
+    return math.ceil(entry["iterations"] * 1.1)
 
 
 @pytest.mark.parametrize("entry", MANIFEST, ids=[m["name"] for m in MANIFEST])

@@ -167,8 +167,81 @@ def test_three_layer_hierarchy():
     import numpy as np
     assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
 
-    # layers=4 still rejected loudly
-    import pytest
-    with pytest.raises(NotImplementedError):
-        PIPSIPMppTPUInterface(lp, Options(
-            hierarchical=True, hierarchical_layers=4)).run()
+
+def test_four_layer_hierarchy():
+    """hierarchical_layers=4 (depth-parametric chain, round-5): rows at
+    THREE linking granularities — fine-group-local, level-2-local and
+    level-3-local — plus globals.  Each coarse level is eliminated by
+    its own batched Schur stage; the solve must reproduce the flat
+    backend exactly (reference splitTree recursion,
+    DistributedTreeCallbacks.C:1123,1194-1217)."""
+    import dataclasses
+    from functools import partial
+
+    import numpy as np
+
+    from pips_ipmpp_tpu.core.options import Options
+    from pips_ipmpp_tpu.core.status import TerminationStatus
+    from pips_ipmpp_tpu.interface import PIPSIPMppTPUInterface
+    from pips_ipmpp_tpu.io.synthetic import random_arrowhead_lp
+    from pips_ipmpp_tpu.ipm.solver import IPMSolver
+    from pips_ipmpp_tpu.linalg.arrow_backend import ArrowBackend
+    from pips_ipmpp_tpu.linalg.hier_backend import (HierArrowBackend,
+                                                    build_hierarchical_lp)
+
+    base = random_arrowhead_lp(21, N=16, n=6, mE=3, mI=3, n0=3, m0E=2,
+                               m0I=2, mEl=9, mIl=8)
+    # hand-crafted locality over 16 blocks: fine groups of 2 (8 groups),
+    # level-2 groups of 4 (C=4), level-3 groups of 8 (C=2)
+    F = np.asarray(base.F).copy()
+    G = np.asarray(base.G).copy()
+
+    def mask_row(M, r, blocks):
+        keep = np.zeros(M.shape[0], bool)
+        keep[list(blocks)] = True
+        M[~keep, r, :] = 0.0
+
+    # eq rows: 0-3 fine-local, 4-5 level-2-local, 6-7 level-3-local, 8 glob
+    for r, blocks in enumerate([(0, 1), (2, 3), (8, 9), (14, 15),
+                                (0, 1, 2, 3), (4, 6, 7),
+                                (0, 3, 5, 7), (8, 11, 15)]):
+        mask_row(F, r, blocks)
+    # ineq rows: 0-2 fine, 3-4 level-2, 5-6 level-3, 7 global
+    for r, blocks in enumerate([(4, 5), (6, 7), (10, 11),
+                                (12, 14), (9, 10),
+                                (1, 2, 6), (8, 9, 13)]):
+        mask_row(G, r, blocks)
+    from pips_ipmpp_tpu.io.synthetic import refit_feasible
+    lp = refit_feasible(base, F, G, np.random.default_rng(22))
+    del dataclasses
+
+    ref = IPMSolver(ArrowBackend, Options()).solve(lp)
+    assert ref.status == TerminationStatus.SUCCESSFUL_TERMINATION
+
+    hlp, meta = build_hierarchical_lp(lp, 8, coarse_levels=(4, 2))
+    assert len(meta.levels) == 2
+    (c2, e2, i2), (c3, e3, i3) = meta.levels
+    assert c2 == 4 and c3 == 2
+    assert e2 + i2 > 0 and e3 + i3 > 0      # both coarse levels populated
+    r4 = IPMSolver(partial(HierArrowBackend, meta=meta),
+                   Options()).solve(hlp)
+    assert r4.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(r4.objective - ref.objective) < 1e-6 * max(
+        1.0, abs(ref.objective))
+    assert abs(r4.iterations - ref.iterations) <= 2
+
+    # facade: layers=4 end to end, gathers in original row order
+    iface = PIPSIPMppTPUInterface(lp, Options(
+        hierarchical=True, hierarchical_layers=4,
+        hierarchical_num_groups=8))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface.getObjective() - float(ref.objective)) < 1e-5
+    assert np.max(np.abs(iface.gatherPrimalResidsEQ())) < 1e-6
+
+    # depth beyond the useful chain degrades gracefully (chain stops
+    # when grouping hits 1) instead of raising
+    iface6 = PIPSIPMppTPUInterface(lp, Options(
+        hierarchical=True, hierarchical_layers=6,
+        hierarchical_num_groups=8))
+    assert iface6.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert abs(iface6.getObjective() - float(ref.objective)) < 1e-5

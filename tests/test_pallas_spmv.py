@@ -90,8 +90,8 @@ def test_sparse_backend_tiled_solve_matches_xla():
     r_xla = IPMSolver(SparseArrowBackend, opts).solve(slp)
     assert r_xla.status == TerminationStatus.SUCCESSFUL_TERMINATION
     tiles = sparse_leaf_tiles(slp)
-    r_til = IPMSolver(partial(SparseArrowBackend, tiles=tiles),
-                      opts).solve(slp)
+    r_til = IPMSolver(SparseArrowBackend, opts,
+                      aux=dict(tiles=tiles)).solve(slp)
     assert r_til.status == TerminationStatus.SUCCESSFUL_TERMINATION
     assert abs(float(r_til.objective) - float(r_xla.objective)) < 1e-6
     assert r_til.iterations <= r_xla.iterations + 2
