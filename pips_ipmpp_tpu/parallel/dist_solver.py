@@ -47,6 +47,7 @@ class DistributedIPMSolver:
     def __init__(self, mesh: Mesh, opts: Optional[Options] = None,
                  mode: str = "shard_map", factor_dtype=jnp.float64,
                  hier_groups: Optional[int] = None,
+                 hier_levels: tuple = (),
                  dist_root: bool = False,
                  be_cls: Optional[type] = None,
                  backend_kw: Optional[dict] = None):
@@ -75,6 +76,7 @@ class DistributedIPMSolver:
         self.opts = opts or Options()
         self.factor_dtype = factor_dtype
         self.hier_groups = hier_groups
+        self.hier_levels = tuple(hier_levels)
         self.be_cls = be_cls
         self.backend_kw = dict(backend_kw or {})
         if be_cls is not None and hier_groups is not None:
@@ -94,7 +96,8 @@ class DistributedIPMSolver:
     # ------------------------------------------------------------------
     def solve(self, lp, callback=None):
         if self.hier_groups is not None:
-            lp, self._hier_meta = build_hierarchical_lp(lp, self.hier_groups)
+            lp, self._hier_meta = build_hierarchical_lp(
+                lp, self.hier_groups, coarse_levels=self.hier_levels)
             if self._inner is None and self.mode == "gspmd":
                 ctor = partial(HierArrowBackend, meta=self._hier_meta,
                                factor_dtype=self.factor_dtype)
@@ -152,12 +155,16 @@ class DistributedIPMSolver:
             in_specs=(lp_specs, it_specs),
             out_specs=(P(), P(), P(), P()), check_vma=False))
 
-        # reuse the generic outer loop with the shard_map'ed kernels
+        # reuse the generic outer loop with the shard_map'ed kernels.
+        # IPMSolver.solve threads `aux` (large ctor operands) through its
+        # kernels; the shard_map'ed kernels here close over everything,
+        # so absorb-and-ignore it
         solver = IPMSolver.__new__(IPMSolver)
         solver.be_ctor = ctor
         solver.opts = opts
         solver.troubles_hook = None   # __init__ skipped; solve() reads it
-        solver._step = step
-        solver._eval = evalf
-        solver._init = init
+        solver.aux = None
+        solver._step = lambda lp_, aux_, *rest: step(lp_, *rest)
+        solver._eval = lambda lp_, aux_, *rest: evalf(lp_, *rest)
+        solver._init = lambda lp_, aux_: init(lp_)
         return solver.solve(lp, callback=callback)
