@@ -258,25 +258,66 @@ def main():
                  dict(N=64, n=1024, mE=512, mI=512, n0=64, m0E=32, m0I=32,
                       mEl=32, mIl=32), stream=4, mfu=True)
 
-    # ---- real-world class: 102k-var energy dispatch/expansion TTO ----
-    # (round-3 verdict #2; objective oracle-matched in test_realworld.py,
-    # the bench records time-to-optimality of the same instance class)
+    # ---- real-world class: 102k-var energy dispatch/expansion TTO,
+    # reported as the FULL pipeline split (presolve / scale / solve /
+    # postsolve — the reference Interface prints the same phases,
+    # PIPSIPMppInterface.cpp:53-129).  solve_ms keeps the reused-solver
+    # perturbed-instance protocol (compile excluded, like every config);
+    # presolve/scale/postsolve are host-or-small phases timed directly.
     try:
         def run_energy():
+            import numpy as _np
+
             from pips_ipmpp_tpu.core.lp import make_arrowhead_lp
             from pips_ipmpp_tpu.io.energy import dispatch_blocks
+            from pips_ipmpp_tpu.presolve import Presolver
             blocks, first, leq, liq, meta = dispatch_blocks(
                 T=96, R=150, G=550, L=350, S=4, seed=5)
-            elp = make_arrowhead_lp(blocks, first, leq, liq, dtype=dtype)
-            elp = scaler.scale(elp)
+            elp = make_arrowhead_lp(blocks, first, leq, liq,
+                                    dtype=jnp.float64)
+            t0 = time.perf_counter()
+            plog = Presolver(max_rounds=2).presolve(elp)
+            presolve_s = time.perf_counter() - t0
+            plp = plog.lp.astype(dtype)
+            t0 = time.perf_counter()
+            slp = scaler.scale(plp)
+            jax.device_get(jax.tree.leaves(slp)[0])
+            scale_s = time.perf_counter() - t0
             sv = IPMSolver(partial(ArrowBackend, **be_kw),
                            Options(max_gondzio_correctors=1,
                                    refinement_steps=2,
                                    matmul_precision="high"))
-            return _run_config(sv, _stream_lps(elp, 2))
-        it_e, sus_e, sing_e, it1_e = _retry(run_energy)
+            it_e, sus_e, sing_e, it1_e = _run_config(
+                sv, _stream_lps(slp, 2))
+            # postsolve: reverse-replay the reductions on the solution
+            # (host; the facade's gather path does the same work)
+            from pips_ipmpp_tpu.presolve.postsolve import (Postsolver,
+                                                           Solution)
+            r = sv.solve(slp)
+            it = r.iterate
+            g = jax.device_get
+            t0 = time.perf_counter()
+            sol = Solution(
+                x0=_np.array(g(it.x.first), _np.float64),
+                xN=_np.array(g(it.x.blocks), _np.float64),
+                y0=_np.array(g(it.y.first), _np.float64),
+                yN=_np.array(g(it.y.blocks), _np.float64),
+                yl=_np.array(g(it.y.link), _np.float64),
+                z0=_np.array(g(it.z.first), _np.float64),
+                zN=_np.array(g(it.z.blocks), _np.float64),
+                zl=_np.array(g(it.z.link), _np.float64))
+            Postsolver(elp).postsolve(plog.events, sol)
+            postsolve_s = time.perf_counter() - t0
+            return (it_e, sus_e, sing_e, it1_e, presolve_s, scale_s,
+                    postsolve_s)
+        (it_e, sus_e, sing_e, it1_e, pre_s, sc_s, post_s) = \
+            _retry(run_energy)
         out["cfg_energy_102kvar"] = {
-            "tto_ms": round(sing_e * 1e3, 1),
+            "presolve_ms": round(pre_s * 1e3, 1),
+            "scale_ms": round(sc_s * 1e3, 1),
+            "solve_ms": round(sing_e * 1e3, 1),
+            "postsolve_ms": round(post_s * 1e3, 1),
+            "tto_ms": round((pre_s + sc_s + sing_e + post_s) * 1e3, 1),
             "iters": int(it1_e),
             "iter_s": round(it_e / sus_e, 1)}
     except Exception as e:

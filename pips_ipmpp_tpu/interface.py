@@ -139,14 +139,22 @@ class PIPSIPMppTPUInterface:
 
     # ------------------------------------------------------------------
     def run(self) -> TerminationStatus:
+        """Presolve -> scale -> (transform) -> solve.  Per-phase wall
+        times land in `self.phase_times` (seconds) — the reference's
+        Interface prints the same pipeline split
+        (PIPSIPMppInterface.cpp:53-129)."""
+        import time as _time
+        self.phase_times = {}
         lp = self.lp
         # presolve (ArrowheadLP only; reference presolves before scaling,
         # PIPSIPMppInterface.cpp:39-57,101-119)
         if (self.options.presolve == PresolverType.PRESOLVE
                 and isinstance(lp, ArrowheadLP)):
             from pips_ipmpp_tpu.presolve import Presolver
+            t0 = _time.perf_counter()
             pres = Presolver(max_rounds=self.options.presolve_max_rounds)
             self._presolve_log = pres.presolve(lp)
+            self.phase_times["presolve"] = _time.perf_counter() - t0
             if self._presolve_log.infeasible:
                 self.result = None
                 self._status_override = TerminationStatus.INFEASIBLE
@@ -154,8 +162,12 @@ class PIPSIPMppTPUInterface:
             lp = self._presolve_log.lp
         if self.options.scaler != ScalerType.NONE:
             from pips_ipmpp_tpu.scale import make_scaler
+            import jax as _jax
+            t0 = _time.perf_counter()
             self._scaler = make_scaler(self.options.scaler)
             lp = self._scaler.scale(lp)
+            _jax.device_get(_jax.tree.leaves(lp)[0])  # materialize
+            self.phase_times["scale"] = _time.perf_counter() - t0
         # sparse leaf kernel: the tiled weights are the SCALED matrix
         # values, so the solver is (re)built here once the final problem
         # is known (pallas_spmv.py; same late-rebuild pattern as the
@@ -205,7 +217,9 @@ class PIPSIPMppTPUInterface:
             self._solver = IPMSolver(
                 partial(HierArrowBackend, meta=self._hier_meta,
                         factor_dtype=fd), self.options)
+        t0 = _time.perf_counter()
         self.result = self._solver.solve(lp)
+        self.phase_times["solve"] = _time.perf_counter() - t0
         self._postsolved = None
         self._gather_cache = {}
         return self.result.status
