@@ -119,3 +119,32 @@ def test_energy_100k_vars_vs_highs():
     iface = PIPSIPMppTPUInterface(lp, Options(max_iterations=300))
     assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
     assert _relerr(iface.getObjective(), obj_h) < REL_TOL
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("PIPS_XL_TESTS"),
+                    reason="~1 h CPU f64; set PIPS_XL_TESTS=1 (round-5 "
+                           "record: see ROUND_NOTES.md)")
+def test_energy_1M_vars_vs_highs():
+    """The ~10^6-variable regime (round-4 verdict #8, first point on the
+    BASELINE north-star's pod-scale road): 300 periods x (1760 gens +
+    1120 lines + 4 storages + 480 regions) ~ 1.01M variables, full
+    pipeline (presolve -> scale -> solve -> postsolve-consistent
+    objective), validated against HiGHS."""
+    import time
+
+    blocks, first, leq, liq, meta = dispatch_blocks(
+        T=300, R=480, G=1760, L=1120, S=4, seed=7)
+    total_vars = meta["n0"] + sum(len(b["c"]) for b in blocks)
+    assert total_vars >= 1_000_000, total_vars
+    obj_h, _ = highs_oracle(blocks, first, leq, liq)
+    lp = make_arrowhead_lp(blocks, first, leq, liq)
+    t0 = time.perf_counter()
+    iface = PIPSIPMppTPUInterface(lp, Options(
+        max_iterations=300,
+        presolve=PresolverType.PRESOLVE,
+        scaler=ScalerType.EQUILIBRIUM))
+    assert iface.run() == TerminationStatus.SUCCESSFUL_TERMINATION
+    print(f"1M-var pipeline: {iface.phase_times} "
+          f"total {time.perf_counter() - t0:.1f}s "
+          f"iters {iface.n_iterations}")
+    assert _relerr(iface.getObjective(), obj_h) < REL_TOL
