@@ -170,8 +170,11 @@ def main():
     # 3-pass ("high") matmuls convergence-safe for everything outside the
     # HIGHEST-pinned kernel (A/B-measured: +8% iter/s, same iteration
     # counts; "high" WITHOUT factored_inverse diverges).
+    # residual_update_every=4: linear residual updates between exact
+    # evaluations (round-5; the recover_step elimination identities make
+    # the per-iteration residual matvecs redundant between re-anchors)
     opts = Options(refinement_steps=0, max_gondzio_correctors=1,
-                   matmul_precision="high")
+                   matmul_precision="high", residual_update_every=4)
     scaler = make_scaler(ScalerType.EQUILIBRIUM)
     be_kw = dict(factor_dtype=dtype, factored_inverse=True)
 

@@ -166,9 +166,11 @@ def tiled_spmv(te: TiledEll, x_tiles, interpret: bool | None = None):
     g = _pick_group(mt, P_pad, c, ct, dtype)
 
     def kern(idx_ref, w_ref, x_ref, y_ref):
+        # the ct loop is a lax.fori (compiled body size O(maxp), not
+        # O(ct*maxp): at 8192-class shapes a fully unrolled ct=64 x
+        # maxp=5 body made Mosaic compiles take tens of minutes)
         for rr in range(g):
-            acc = jnp.zeros((c, 128), dtype)
-            for t in range(ct):
+            def ct_body(t, acc):
                 xt = x_ref[0, t]
                 for p in range(maxp):
                     row = t * maxp + p
@@ -176,7 +178,9 @@ def tiled_spmv(te: TiledEll, x_tiles, interpret: bool | None = None):
                         idx_ref[0, rr, row, :].reshape(1, 128), (c, 128))
                     gath = jnp.take_along_axis(xt, ii, axis=1)
                     acc = acc + w_ref[0, rr, row, :].reshape(1, 128) * gath
-            y_ref[0, rr] = acc
+                return acc
+            y_ref[0, rr] = jax.lax.fori_loop(
+                0, ct, ct_body, jnp.zeros((c, 128), dtype))
 
     return pl.pallas_call(
         kern,
