@@ -276,8 +276,10 @@ def main():
             from pips_ipmpp_tpu.presolve import Presolver
             blocks, first, leq, liq, meta = dispatch_blocks(
                 T=96, R=150, G=550, L=350, S=4, seed=5)
+            # host=True: presolve is host-side numpy — without it every
+            # block array is pulled back through the TPU tunnel (~GBs)
             elp = make_arrowhead_lp(blocks, first, leq, liq,
-                                    dtype=jnp.float64)
+                                    dtype=jnp.float64, host=True)
             t0 = time.perf_counter()
             plog = Presolver(max_rounds=2).presolve(elp)
             presolve_s = time.perf_counter() - t0

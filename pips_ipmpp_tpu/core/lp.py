@@ -270,7 +270,8 @@ class ArrowheadLP:
 def make_arrowhead_lp(blocks: list[dict], first_stage: dict,
                       linking_eq: Optional[dict] = None,
                       linking_ineq: Optional[dict] = None,
-                      dtype=jnp.float64) -> ArrowheadLP:
+                      dtype=jnp.float64,
+                      host: bool = False) -> ArrowheadLP:
     """Build an ArrowheadLP from per-block dicts of numpy arrays.
 
     `blocks[i]` keys: c, A (mE x n0 border), B (mE x n diag), b,
@@ -296,7 +297,10 @@ def make_arrowhead_lp(blocks: list[dict], first_stage: dict,
               for blk in blocks]
 
     def stack(key, default_shape=None):
-        return jnp.asarray(np.stack([blk[key] for blk in blocks]), dtype)
+        out = np.stack([blk[key] for blk in blocks])
+        if host:
+            return np.asarray(out, np.dtype(jnp.dtype(dtype).name))
+        return jnp.asarray(out, dtype)
 
     le = linking_eq or {"b": np.zeros((mEl,))}
     li = linking_ineq or {k: np.zeros((mIl,)) for k in
@@ -333,7 +337,15 @@ def make_arrowhead_lp(blocks: list[dict], first_stage: dict,
     for i, blk in enumerate(blocks):
         check_ineq_bounded(blk["iclow"], blk["icupp"], f"block {i} ineq")
 
-    arr = partial(jnp.asarray, dtype=dtype)
+    # host=True keeps numpy leaves (no device transfer): host-side
+    # consumers like the presolver otherwise pull every block array back
+    # through the device link (on the tunneled TPU that is ~GBs at
+    # tunnel bandwidth — tens of minutes for a 10^5-variable instance)
+    if host:
+        arr = partial(np.asarray,
+                      dtype=np.dtype(jnp.dtype(dtype).name))
+    else:
+        arr = partial(jnp.asarray, dtype=dtype)
     return ArrowheadLP(
         c0=arr(fs["c"]), A0=arr(fs["A"]), b0=arr(fs["b"]), C0=arr(fs["C"]),
         iclow0=arr(fs["iclow"]), clow0=arr(fs["clow"]),
