@@ -77,6 +77,12 @@ def _retry(fn, attempts=3, backoff=(10.0, 30.0)):
 import jax
 import jax.numpy as jnp
 
+
+def _mark(name):
+    print(f"[bench] {time.strftime('%H:%M:%S')} {name}", file=sys.stderr,
+          flush=True)
+
+
 # flagship: 64 scenario blocks, 256 vars / 128+128 rows each,
 # 64 first-stage vars, 32+32 linking rows
 SHAPE = dict(N=64, n=256, mE=128, mI=128, n0=64, m0E=32, m0I=32,
@@ -222,6 +228,7 @@ def main():
         out["note"] = fallback_note
 
     def _side_config(key, seed, sh, stream=4, mfu=False):
+        _mark(key)
         """Measure one side config with retries; never lose the headline
         to a side config, but record errors distinctly."""
         try:
@@ -261,6 +268,7 @@ def main():
                  dict(N=64, n=1024, mE=512, mI=512, n0=64, m0E=32, m0I=32,
                       mEl=32, mIl=32), stream=4, mfu=True)
 
+    _mark("cfg_energy_102kvar")
     # ---- real-world class: 102k-var energy dispatch/expansion TTO,
     # reported as the FULL pipeline split (presolve / scale / solve /
     # postsolve — the reference Interface prints the same phases,
@@ -284,8 +292,12 @@ def main():
             plog = Presolver(max_rounds=2).presolve(elp)
             presolve_s = time.perf_counter() - t0
             plp = plog.lp.astype(dtype)
+            # warm the scaling program (compile excluded, like the solve)
+            _w = scaler.scale(plp)
+            jax.device_get(jax.tree.leaves(_w)[0])
+            plp2 = dataclasses.replace(plp, c0=plp.c0 * (1 + 1e-9))
             t0 = time.perf_counter()
-            slp = scaler.scale(plp)
+            slp = scaler.scale(plp2)
             jax.device_get(jax.tree.leaves(slp)[0])
             scale_s = time.perf_counter() - t0
             sv = IPMSolver(partial(ArrowBackend, **be_kw),
@@ -328,6 +340,7 @@ def main():
     except Exception as e:
         out["cfg_energy_102kvar"] = {"error": str(e)[:120]}
 
+    _mark("cfg_sparse_8x2048_densified")
     # ---- sparse instance, DENSIFIED (the TPU sizing answer at this
     # block size: sparse_densify_max_mb routes in-budget sparse LPs to
     # the batched-dense MXU path) ----
@@ -396,6 +409,7 @@ def main():
             r.status
         return r.iterations, dtt
 
+    _mark("cfg_sparse_8x2048")
     try:
         its_s, t_s = _retry(lambda: run_sparse_cfg(2048, 1024, 1024))
         out["cfg_sparse_8x2048"] = {"tto_ms": round(t_s * 1e3, 1),
@@ -406,6 +420,7 @@ def main():
     # ---- out-of-densify-budget scale: 8 x 8192-row blocks (dense twin
     # ~2 GB > the 256 MB default budget; the regime where the reference's
     # PARDISO sparse leaves are mandatory, PardisoSchurSolver.C:84) ----
+    _mark("cfg_sparse_8x8192")
     try:
         its_s8, t_s8 = _retry(lambda: run_sparse_cfg(8192, 4096, 4096))
         out["cfg_sparse_8x8192"] = {"tto_ms": round(t_s8 * 1e3, 1),
