@@ -300,7 +300,12 @@ def main():
             slp = scaler.scale(plp2)
             jax.device_get(jax.tree.leaves(slp)[0])
             scale_s = time.perf_counter() - t0
-            sv = IPMSolver(partial(ArrowBackend, **be_kw),
+            # NOTE: explicit-inverse leaf (no factored_inverse) — the
+            # factored_inverse fused program at this [96, 1054, 1068]
+            # shape compiles for >40 min through the remote compiler
+            # (round-5 observation), while this variant compiles in
+            # ~30 s and solves at the same rate at TTO scale
+            sv = IPMSolver(partial(ArrowBackend, factor_dtype=dtype),
                            Options(max_gondzio_correctors=1,
                                    refinement_steps=2,
                                    matmul_precision="high"))
@@ -310,7 +315,7 @@ def main():
             # (host; the facade's gather path does the same work)
             from pips_ipmpp_tpu.presolve.postsolve import (Postsolver,
                                                            Solution)
-            r = sv.solve(slp)
+            r = sv.solve_fused(slp)   # reuse the compiled fused program
             it = r.iterate
             g = jax.device_get
             t0 = time.perf_counter()
