@@ -81,14 +81,19 @@ def plan_banded_root(lp: ArrowheadLP, panel: int | None = None,
         hi_blk[rows] = np.maximum(hi_blk[rows], i)
     width = np.where(touched, hi_blk - lo_blk + 1.0, 0.0)
 
-    # peel wide/global rows into the trailing dense block
+    # peel wide/global rows into the trailing dense block.  "Wide" is by
+    # touched-block COUNT (what creates cliques in the SC pattern), not
+    # window span: a 2-block row whose blocks are far apart in the
+    # numbering (ring wrap, graph chord) is NOT dense — the RCM ordering
+    # below absorbs it into the band.
+    n_touched = supp.sum(axis=0).astype(float)   # [nL]
     max_dense = int(max_dense_frac * nL)
-    med_w = max(float(np.median(width[touched])), 1.0) if touched.any() \
+    med_w = max(float(np.median(n_touched[touched])), 1.0) if touched.any() \
         else 1.0
-    wide = touched & (width > max(4 * med_w, 4.0)) if max_dense else \
+    wide = touched & (n_touched > max(4 * med_w, 4.0)) if max_dense else \
         np.zeros(nL, bool)
     if wide.sum() > max_dense:
-        keep_wide = np.argsort(width)[::-1][:max_dense]
+        keep_wide = np.argsort(n_touched)[::-1][:max_dense]
         wide = np.zeros(nL, bool)
         wide[keep_wide] = True
 
@@ -100,14 +105,45 @@ def plan_banded_root(lp: ArrowheadLP, panel: int | None = None,
     order = np.argsort(key, kind="stable")
     k = int(wide.sum())
 
-    pos = np.empty(nL, np.int64)
-    pos[order] = np.arange(nL)
-    h = 1
-    for i in range(N):
-        rows = np.nonzero(supp[i] & ~wide)[0]
-        if rows.size > 1:
-            p = pos[rows]
-            h = max(h, int(p.max() - p.min()))
+    def bandwidth_of(ordering):
+        pos = np.empty(nL, np.int64)
+        pos[ordering] = np.arange(nL)
+        hh = 1
+        for i in range(N):
+            rows = np.nonzero(supp[i] & ~wide)[0]
+            if rows.size > 1:
+                p = pos[rows]
+                hh = max(hh, int(p.max() - p.min()))
+        return hh
+
+    h = bandwidth_of(order)
+
+    # GENERAL fill exploitation (beyond chain-local windows): rows sharing
+    # a block form a clique in the SC pattern, so the SC adjacency is
+    # B' B with B = supp; an RCM ordering of that graph minimizes the
+    # bandwidth for ARBITRARY k-local link structure (graph-coupled
+    # scenarios, interleaved chains, network topologies) where the
+    # window-center heuristic assumes a chain.  This is the TPU-native
+    # analog of the reference's symbolic sparse-SC machinery
+    # (DistributedProblem.hpp:66-77, createSchurCompSymbSparseUpper :73):
+    # instead of a general sparse factorization, reduce the fill to a
+    # band and use the block-tridiagonal MXU path.  Keep whichever
+    # ordering yields the smaller half-bandwidth.
+    band_rows = np.nonzero(touched & ~wide)[0]
+    if band_rows.size > 2:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        B = sp.csr_matrix(supp[:, band_rows])
+        adj = (B.T @ B).tocsr()
+        rcm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
+                         dtype=np.int64)
+        order_rcm = np.concatenate([
+            band_rows[rcm],
+            np.nonzero(~touched & ~wide)[0],
+            np.nonzero(wide)[0]])
+        h_rcm = bandwidth_of(order_rcm)
+        if h_rcm < h:
+            order, h = order_rcm, h_rcm
     nD = nP + nL
     n_band = nD - k
     if panel is None:

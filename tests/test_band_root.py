@@ -124,3 +124,47 @@ def test_band_root_peels_global_rows():
     assert r_band.iterations == r_dense.iterations
     np.testing.assert_allclose(float(r_band.objective),
                                float(r_dense.objective), rtol=1e-8)
+
+
+def test_band_root_rcm_general_local_pattern():
+    """GENERAL (non-chain) local link structure: a RING coupling
+    i <-> (i+1) mod N.  The wrap-around row's block window spans the
+    whole chain, so window-center ordering would either peel it or pay
+    ~nL/2 bandwidth; the RCM ordering of the SC adjacency graph (the
+    analog of the reference's symbolic sparse-SC analysis,
+    DistributedProblem.hpp:66-77) recovers O(links) bandwidth with no
+    dense peel needed."""
+    from pips_ipmpp_tpu.io.synthetic import refit_feasible
+
+    N, n = 12, 24
+    base = klink_arrowhead_lp(6, N=N, n=n, links_per_block=2, klink=2,
+                              dtype=jnp.float64)
+    rng = np.random.default_rng(21)
+    mEl, mIl = base.mEl, base.mIl
+    nL = mEl + mIl
+    F = np.zeros((N, mEl, n))
+    G = np.zeros((N, mIl, n))
+    # row r (2 per block; even r -> eq, odd r -> ineq) touches blocks
+    # r//2 and (r//2 + 1) % N — a cycle graph over blocks
+    for r in range(nL):
+        blk = (r // 2) % N
+        strip, local = (F, r // 2) if r % 2 == 0 else (G, r // 2)
+        for i in (blk, (blk + 1) % N):
+            strip[i, local] = rng.normal(size=n) * 0.2
+    lp = refit_feasible(base, F, G, rng, dtype=jnp.float64)
+
+    plan = plan_banded_root(lp)
+    # RCM on the cycle graph: bandwidth stays O(rows-per-block), nothing
+    # needs the dense peel.  Center ordering alone cannot do better than
+    # ~nL/2 for the wrap row (or must peel it).
+    assert plan.n_dense == 0
+    assert plan.half_bandwidth <= 8, plan.half_bandwidth
+
+    r_dense = IPMSolver(partial(ArrowBackend,
+                                factor_dtype=jnp.float64)).solve(lp)
+    r_band = IPMSolver(partial(ArrowBackend, band_root_plan=plan,
+                               factor_dtype=jnp.float64)).solve(lp)
+    assert r_band.status == TerminationStatus.SUCCESSFUL_TERMINATION
+    assert r_band.iterations == r_dense.iterations
+    np.testing.assert_allclose(float(r_band.objective),
+                               float(r_dense.objective), rtol=1e-8)
