@@ -83,6 +83,25 @@ def _mark(name):
           flush=True)
 
 
+# Debug filter: PIPS_BENCH_ONLY="cfg_a,cfg_b" runs only the named side
+# configs (the flagship always runs — it defines the headline metric).
+# Unset (the driver's case) = run everything.
+_ONLY = {k for k in os.environ.get("PIPS_BENCH_ONLY", "").split(",") if k}
+
+
+def _want(key: str) -> bool:
+    return not _ONLY or key in _ONLY
+
+
+class _Skipped(Exception):
+    pass
+
+
+def _require(key: str):
+    if not _want(key):
+        raise _Skipped(key)
+
+
 # flagship: 64 scenario blocks, 256 vars / 128+128 rows each,
 # 64 first-stage vars, 32+32 linking rows
 SHAPE = dict(N=64, n=256, mE=128, mI=128, n0=64, m0E=32, m0I=32,
@@ -228,6 +247,8 @@ def main():
         out["note"] = fallback_note
 
     def _side_config(key, seed, sh, stream=4, mfu=False):
+        if not _want(key):
+            return
         _mark(key)
         """Measure one side config with retries; never lose the headline
         to a side config, but record errors distinctly."""
@@ -276,6 +297,8 @@ def main():
     # perturbed-instance protocol (compile excluded, like every config);
     # presolve/scale/postsolve are host-or-small phases timed directly.
     try:
+        _require("cfg_energy_102kvar")
+
         def run_energy():
             import numpy as _np
 
@@ -291,10 +314,12 @@ def main():
             t0 = time.perf_counter()
             plog = Presolver(max_rounds=2).presolve(elp)
             presolve_s = time.perf_counter() - t0
+            _mark("energy: presolve done")
             plp = plog.lp.astype(dtype)
             # warm the scaling program (compile excluded, like the solve)
             _w = scaler.scale(plp)
             jax.device_get(jax.tree.leaves(_w)[0])
+            _mark("energy: scale warmed")
             plp2 = dataclasses.replace(plp, c0=plp.c0 * (1 + 1e-9))
             t0 = time.perf_counter()
             slp = scaler.scale(plp2)
@@ -309,8 +334,10 @@ def main():
                            Options(max_gondzio_correctors=1,
                                    refinement_steps=2,
                                    matmul_precision="high"))
+            _mark("energy: solve stream (compile on first call)")
             it_e, sus_e, sing_e, it1_e = _run_config(
                 sv, _stream_lps(slp, 2))
+            _mark("energy: solve stream done")
             # postsolve: reverse-replay the reductions on the solution
             # (host; the facade's gather path does the same work)
             from pips_ipmpp_tpu.presolve.postsolve import (Postsolver,
@@ -342,6 +369,8 @@ def main():
             "tto_ms": round((pre_s + sc_s + sing_e + post_s) * 1e3, 1),
             "iters": int(it1_e),
             "iter_s": round(it_e / sus_e, 1)}
+    except _Skipped:
+        pass
     except Exception as e:
         out["cfg_energy_102kvar"] = {"error": str(e)[:120]}
 
@@ -350,6 +379,8 @@ def main():
     # block size: sparse_densify_max_mb routes in-budget sparse LPs to
     # the batched-dense MXU path) ----
     try:
+        _require("cfg_sparse_8x2048_densified")
+
         def run_sparse_densified():
             from pips_ipmpp_tpu.core.sparse import dense_from_sparse
             from pips_ipmpp_tpu.core.status import TerminationStatus
@@ -373,6 +404,8 @@ def main():
         its_d, t_d = _retry(run_sparse_densified)
         out["cfg_sparse_8x2048_densified"] = {
             "tto_ms": round(t_d * 1e3, 1), "iters": int(its_d)}
+    except _Skipped:
+        pass
     except Exception as e:
         out["cfg_sparse_8x2048_densified"] = {"error": str(e)[:120]}
 
@@ -416,9 +449,12 @@ def main():
 
     _mark("cfg_sparse_8x2048")
     try:
+        _require("cfg_sparse_8x2048")
         its_s, t_s = _retry(lambda: run_sparse_cfg(2048, 1024, 1024))
         out["cfg_sparse_8x2048"] = {"tto_ms": round(t_s * 1e3, 1),
                                     "iters": int(its_s)}
+    except _Skipped:
+        pass
     except Exception as e:
         out["cfg_sparse_8x2048"] = {"error": str(e)[:120]}
 
@@ -427,9 +463,12 @@ def main():
     # PARDISO sparse leaves are mandatory, PardisoSchurSolver.C:84) ----
     _mark("cfg_sparse_8x8192")
     try:
+        _require("cfg_sparse_8x8192")
         its_s8, t_s8 = _retry(lambda: run_sparse_cfg(8192, 4096, 4096))
         out["cfg_sparse_8x8192"] = {"tto_ms": round(t_s8 * 1e3, 1),
                                     "iters": int(its_s8)}
+    except _Skipped:
+        pass
     except Exception as e:
         out["cfg_sparse_8x8192"] = {"error": str(e)[:120]}
 
