@@ -15,7 +15,8 @@ def lib():
 
 
 def test_builds_and_abi(lib):
-    assert lib.pips_native_abi_version() == 1
+    # ABI 2: round-5 added the fused drop_tiny_impact presolve kernel
+    assert lib.pips_native_abi_version() == 2
 
 
 def test_row_support_stats(lib):
